@@ -1,0 +1,291 @@
+"""Configuration system for optimized_rag_tpu.
+
+Mirrors the capability surface of the reference's env-driven settings
+(reference: config.py:10-226, optimization_config.py:11-105) as typed
+dataclasses with environment-variable overrides, but organized by
+subsystem rather than as a flat constant list.
+
+Every threshold that drives control flow in the reference pipeline is kept
+as a named field with the same default so behavior parity is checkable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+
+def _env(name: str, default, cast=None):
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    cast = cast or type(default)
+    if cast is bool:
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    return cast(raw)
+
+
+# ---------------------------------------------------------------------------
+# Chunking / ingestion  (reference: config.py:25-27, rag/chunking.py)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ChunkingConfig:
+    chunk_size: int = 1200          # characters (reference: config.py:25)
+    chunk_overlap: int = 150        # reference: config.py:26
+    strategy: str = "recursive"     # fixed | recursive | semantic
+    semantic_threshold: float = 0.75  # cosine boundary (rag/chunking.py:174)
+    max_semantic_chunk_chars: int = 2000
+    min_chunk_chars: int = 50
+
+
+# ---------------------------------------------------------------------------
+# Embedding / encoder  (reference: memory/embeddings.py, optimization_config)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EncoderConfig:
+    dim: int = 384                  # on-device encoder output dim
+    vocab_size: int = 32768
+    hidden_dim: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    mlp_dim: int = 1536
+    max_seq_len: int = 512
+    dtype: str = "bfloat16"
+    batch_size: int = 128           # reference batches at 100 (config.py:186)
+    cache_size: int = 4096          # LRU entries (reference: 1000, embeddings.py:47)
+    matryoshka_dims: Tuple[int, ...] = (384, 256, 128)  # optimization_config.py:15-19
+
+
+@dataclass
+class CrossEncoderConfig:
+    hidden_dim: int = 384
+    num_layers: int = 4
+    num_heads: int = 12
+    mlp_dim: int = 1536
+    max_seq_len: int = 512
+    max_pairs_per_batch: int = 64
+    blend_original: float = 0.3     # 0.7*new + 0.3*orig (rag/reranker.py:77)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval  (reference: rag/retrieval.py, rag/document_store.py)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RetrievalConfig:
+    top_k: int = 10
+    candidate_k: int = 50           # dense candidates before rerank
+    rrf_k: int = 60                 # RRF constant (rag/reranker.py:247)
+    mmr_lambda: float = 0.7         # rag/reranker.py:181
+    recency_half_life_days: float = 30.0  # 0.5^(days/half_life) (retrieval.py:283)
+    # hybrid weights fallback (semantic, keyword, temporal) — per-intent
+    # tables live in engine/adaptive.py (reference: retrieval.py:22-47)
+    default_weights: Tuple[float, float, float] = (0.7, 0.2, 0.1)
+    bm25_k1: float = 1.5
+    bm25_b: float = 0.75
+    max_query_terms: int = 32
+    shard_axis: str = "data"        # mesh axis the corpus is sharded over
+
+
+@dataclass
+class IVFConfig:
+    num_clusters: int = 1024
+    nprobe: int = 64
+    kmeans_iters: int = 12
+    min_points_per_cluster: int = 4
+    oversample: float = 1.3         # candidate oversampling for recall safety
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical 3-tier retrieval  (reference: rag/hierarchical_retriever.py)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TierConfig:
+    escalation_threshold: float = 0.7   # config.py:55
+    tier1_keyword_min_score: float = 0.3
+    # confidence blend: 0.35*avg + 0.25*count + 0.20*consistency + 0.20*top
+    # (hierarchical_retriever.py:31-74)
+    w_avg: float = 0.35
+    w_count: float = 0.25
+    w_consistency: float = 0.20
+    w_top: float = 0.20
+    semantic_blend: float = 0.4         # 60/40 blend with Self-RAG confidence (:86-90)
+    expected_count: int = 5
+
+
+# ---------------------------------------------------------------------------
+# Reranking  (reference: rag/selective_reranker.py, rag/reranker.py)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RerankConfig:
+    enable_selective: bool = True
+    score_variance_skip: float = 0.01   # skip rerank if variance below (selective_reranker.py:140)
+    cross_encoder_threshold: float = 0.15  # CROSS_ENCODER_SCORE_THRESHOLD (config.py:201)
+    rerank_top_k: int = 5
+    precision_intents: Tuple[str, ...] = ("factual_lookup", "multi_hop", "comparison")
+
+
+# ---------------------------------------------------------------------------
+# Verification / anti-hallucination  (reference: config.py, self_rag.py, ...)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VerificationConfig:
+    min_support_ratio: float = 0.70      # MIN_SUPPORT_RATIO (config.py:190)
+    hallucination_support_ratio: float = 0.6   # self_rag.py:341
+    uncited_sentence_ratio: float = 0.5        # self_rag.py:351
+    max_claims: int = 10                       # self_rag.py:299
+    ensemble_weights: Tuple[float, float, float] = (0.5, 0.3, 0.2)  # llm/keyword/embedding
+    ensemble_llm_override_conf: float = 0.85   # ensemble_verifier.py:349-368
+    embedding_verify_threshold: float = 0.60   # ensemble_verifier.py:237
+    exact_match_term_ratio: float = 0.60       # verify_response.py:18
+    consistency_sim_threshold: float = 0.85    # consistency_checker.py:193
+    contradiction_penalty: float = 0.15        # rerank_and_eval.py:176-186
+    factuality_weights: Tuple[float, float, float, float] = (0.50, 0.25, 0.20, 0.05)
+    zero_citation_penalty: float = 0.5         # factuality_scorer.py:66-69
+    refusal_threshold: float = 0.50            # factuality_scorer.py:203
+    web_search_factuality_trigger: float = 0.35  # decisions.py:78
+    attribution_traceable_ratio: float = 0.95  # attribution_mapper.py
+
+
+# ---------------------------------------------------------------------------
+# Loop caps  (reference: config.py:31,63,198)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LoopConfig:
+    max_regeneration_attempts: int = 1
+    max_refinement_attempts: int = 2
+    max_reretrieve_attempts: int = 2
+    progressive_top_k: Tuple[int, ...] = (15, 10, 5)  # config.py:205-209
+
+
+# ---------------------------------------------------------------------------
+# Context / compression  (reference: config.py:35,92-111,216-221)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ContextConfig:
+    max_context_tokens: int = 8000
+    compression_target_tokens: int = 2000
+    # token allocation budget (config.py:92-111)
+    allocation: Dict[str, float] = field(default_factory=lambda: {
+        "system": 0.10, "core_memory": 0.15, "conversation": 0.25,
+        "rag_context": 0.40, "response": 0.10,
+    })
+    semantic_weight: float = 0.7    # _score_sentences_hybrid (context_compressor.py:217)
+    lexical_weight: float = 0.3
+    # per-intent compression thresholds (config.py:216-221)
+    intent_thresholds: Dict[str, float] = field(default_factory=lambda: {
+        "factual_lookup": 0.5, "summarization": 0.3, "chat": 0.7,
+        "multi_hop": 0.4, "comparison": 0.4,
+    })
+
+
+# ---------------------------------------------------------------------------
+# Memory  (reference: memory/manager.py)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MemoryConfig:
+    core_memory_limit_chars: int = 4000
+    archival_search_top_k: int = 5
+    recall_recent_messages: int = 10
+    persona: str = "I am a helpful research assistant running on TPU."
+
+
+# ---------------------------------------------------------------------------
+# Adaptive weights / DW-GRPO  (reference: rag/adaptive_weights.py)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AdaptiveConfig:
+    learning_rate: float = 0.01          # alpha (adaptive_weights.py:385)
+    window_size: int = 100               # PerformanceTracker (adaptive_weights.py:32)
+    persist_every: int = 10              # adaptive_weights.py:490
+    domain_boost: float = 0.1
+
+
+# ---------------------------------------------------------------------------
+# Parallelism / mesh
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MeshConfig:
+    data_axis: str = "data"     # corpus-shard / batch axis
+    model_axis: str = "model"   # tensor-parallel axis for encoder training
+    data_parallel: int = 0      # 0 = infer from devices
+    model_parallel: int = 1
+
+
+# ---------------------------------------------------------------------------
+# Feature flags  (reference: ~25 enable_* flags, config.py / optimization_config)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Flags:
+    enable_kg: bool = True
+    enable_cot: bool = True
+    enable_compression: bool = True
+    enable_consistency_check: bool = True
+    enable_temporal_validation: bool = True
+    enable_attribution: bool = True
+    enable_uncertainty: bool = True
+    enable_hitl: bool = False
+    enable_ensemble_verification: bool = True
+    enable_hierarchical_retrieval: bool = True
+    enable_dynamic_weights: bool = True
+    enable_web_search_fallback: bool = True
+    enable_selective_rerank: bool = True
+    enable_self_rag: bool = True
+    enable_citation_validation: bool = True
+    enable_factuality_scoring: bool = True
+    enable_query_rewriting: bool = True
+    enable_intent_recognition: bool = True
+    enable_multi_doc_synthesis: bool = True
+    enable_memory_fact_extraction: bool = True
+    enable_cost_tracking: bool = True
+    enable_metrics_export: bool = True
+    enable_profiling: bool = False
+
+
+@dataclass
+class Settings:
+    """Root settings object. Construct with overrides or from env."""
+    chunking: ChunkingConfig = field(default_factory=ChunkingConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    cross_encoder: CrossEncoderConfig = field(default_factory=CrossEncoderConfig)
+    retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    ivf: IVFConfig = field(default_factory=IVFConfig)
+    tiers: TierConfig = field(default_factory=TierConfig)
+    rerank: RerankConfig = field(default_factory=RerankConfig)
+    verification: VerificationConfig = field(default_factory=VerificationConfig)
+    loops: LoopConfig = field(default_factory=LoopConfig)
+    context: ContextConfig = field(default_factory=ContextConfig)
+    memory: MemoryConfig = field(default_factory=MemoryConfig)
+    adaptive: AdaptiveConfig = field(default_factory=AdaptiveConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    flags: Flags = field(default_factory=Flags)
+    data_dir: str = field(default_factory=lambda: _env("ORAG_DATA_DIR", ".orag"))
+    agent_id: str = "default"
+
+    @classmethod
+    def from_env(cls) -> "Settings":
+        s = cls()
+        s.encoder.dim = _env("ORAG_EMBED_DIM", s.encoder.dim)
+        s.chunking.chunk_size = _env("ORAG_CHUNK_SIZE", s.chunking.chunk_size)
+        s.chunking.chunk_overlap = _env("ORAG_CHUNK_OVERLAP", s.chunking.chunk_overlap)
+        s.retrieval.top_k = _env("ORAG_TOP_K", s.retrieval.top_k)
+        return s
+
+    def replace(self, **kw) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_SETTINGS = Settings()

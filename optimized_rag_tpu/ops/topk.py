@@ -1,0 +1,189 @@
+"""Dense top-k retrieval: fused matmul + k-selection.
+
+This replaces the reference's pgvector nearest-neighbour SQL
+(`ORDER BY embedding <=> query LIMIT k`, rag/document_store.py:448-460;
+database/operations.py:126-137) with on-TPU kernels.
+
+Three implementations, all returning ``(scores [B,k], indices [B,k])``:
+
+  * ``exact_topk``   — one matmul + ``lax.top_k``. Best for N up to a few
+                       hundred thousand where the [B,N] score matrix fits.
+  * ``chunked_topk`` — ``lax.scan`` over corpus chunks carrying a running
+                       top-k; memory is O(B*(chunk+k)) so N can be tens of
+                       millions. Pure XLA; the matmul rides the MXU and the
+                       merge is a small sort per chunk.
+  * ``pallas_topk``  — two-stage Pallas kernel: stage 1 computes per-tile
+                       scores in VMEM and extracts the tile-local top-k with
+                       an unrolled k-step masked argmax (scores never touch
+                       HBM); stage 2 is a tiny ``lax.top_k`` over the
+                       ``tiles*k`` survivors. This is the speed-of-light
+                       path: HBM traffic is exactly one read of the corpus.
+
+Corpora are stored padded to a static capacity (index/dense.py); ``size``
+masks out padding rows so growth never triggers recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _mask_padding(scores: jax.Array, base: int | jax.Array, size) -> jax.Array:
+    """Set score columns whose global row index >= size to -inf."""
+    n = scores.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    return jnp.where(col + base < size, scores, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def exact_topk(queries: jax.Array, corpus: jax.Array, k: int,
+               size: jax.Array | int | None = None):
+    """Brute-force fused matmul+top-k. queries [B,D], corpus [N,D]."""
+    scores = jnp.dot(queries.astype(jnp.float32), corpus.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    if size is not None:
+        scores = _mask_padding(scores, 0, size)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def chunked_topk(queries: jax.Array, corpus: jax.Array, k: int,
+                 size: jax.Array | int | None = None, chunk: int = 65536):
+    """Streaming top-k over corpus chunks; memory O(B*(chunk+k)).
+
+    The corpus is reshaped to [T, chunk, D] (N must be a multiple of
+    ``chunk``; index/dense.py pads capacity accordingly) and scanned,
+    carrying the running (scores, indices).
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    assert n % chunk == 0, f"corpus rows {n} not a multiple of chunk {chunk}"
+    t = n // chunk
+    q = queries.astype(jnp.float32)
+    corpus3 = corpus.reshape(t, chunk, d)
+    size_ = jnp.asarray(n if size is None else size, jnp.int32)
+
+    def step(carry, inp):
+        best_s, best_i = carry
+        tile_idx, tile = inp
+        s = jnp.dot(q, tile.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [B, chunk]
+        base = tile_idx * chunk
+        s = _mask_padding(s, base, size_)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1) + base
+        cand_i = jnp.concatenate([best_i, col], axis=1)
+        top_s, pos = jax.lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (jnp.full((b, k), NEG_INF), jnp.full((b, k), -1, jnp.int32))
+    (scores, idx), _ = jax.lax.scan(
+        step, init, (jnp.arange(t, dtype=jnp.int32), corpus3))
+    return scores, idx
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+def _tile_topk_kernel(size_ref, q_ref, c_ref, s_out, i_out, *, tile: int,
+                      k: int):
+    """Stage 1: per-corpus-tile top-k, scores never leave VMEM.
+
+    Grid is (num_tiles,). q_ref [B,D] (full, resident); c_ref [tile,D] is the
+    current corpus tile; outputs are the tile-local top-k [1,B,k].
+    """
+    t = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # [B, tile]
+    base = t * tile
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col + base < size_ref[0], scores, NEG_INF)
+    # Unrolled k-step masked argmax (k is small and static; VPU-friendly).
+    for j in range(k):
+        m = jnp.max(scores, axis=1)                           # [B]
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)      # [B]
+        s_out[0, :, j] = m
+        i_out[0, :, j] = a + base
+        scores = jnp.where(col == a[:, None], NEG_INF, scores)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
+                size: jax.Array | int | None = None, tile: int = 1024,
+                interpret: bool = False):
+    """Fused matmul+top-k via a two-stage Pallas kernel.
+
+    queries [B,D] (pre-normalized), corpus [N,D] with N % tile == 0.
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    assert k <= tile
+    num_tiles = n // tile
+    size_arr = jnp.asarray(
+        [n if size is None else size], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    tile_s, tile_i = pl.pallas_call(
+        functools.partial(_tile_topk_kernel, tile=tile, k=k),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(size_arr, queries.astype(jnp.float32), corpus)
+
+    # Stage 2: merge tile winners (tiny: [B, tiles*k]).
+    cand_s = jnp.transpose(tile_s, (1, 0, 2)).reshape(b, num_tiles * k)
+    cand_i = jnp.transpose(tile_i, (1, 0, 2)).reshape(b, num_tiles * k)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s, top_i
+
+
+def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
+                  tile=1024, chunk=65536):
+    """Pick the right top-k implementation for the backend / problem size."""
+    n = corpus.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    if prefer_pallas is None:
+        prefer_pallas = on_tpu and n % tile == 0 and k <= 128
+    if prefer_pallas:
+        return pallas_topk(queries, corpus, k, size, tile=tile,
+                           interpret=not on_tpu)
+    if n > chunk and n % chunk == 0:
+        return chunked_topk(queries, corpus, k, size, chunk=chunk)
+    return exact_topk(queries, corpus, k, size)

@@ -1,0 +1,96 @@
+"""Top-k kernels vs NumPy oracle (exact brute-force = pgvector-equivalent)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimized_rag_tpu.ops.similarity import normalize
+from optimized_rag_tpu.ops.topk import (
+    chunked_topk, dispatch_topk, exact_topk, pallas_topk)
+
+
+def _oracle_topk(q, c, k, size=None):
+    scores = q.astype(np.float64) @ c.astype(np.float64).T
+    if size is not None:
+        scores[:, size:] = -np.inf
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def _make(rng, b=8, n=4096, d=128):
+    q = np.asarray(normalize(jnp.asarray(
+        rng.standard_normal((b, d), dtype=np.float32))))
+    c = np.asarray(normalize(jnp.asarray(
+        rng.standard_normal((n, d), dtype=np.float32))))
+    return q, c
+
+
+def _check(scores, idx, oracle_s, oracle_i):
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    # Scores must match; indices may differ only under exact score ties.
+    np.testing.assert_allclose(scores, oracle_s, rtol=2e-4, atol=2e-4)
+    ties = ~np.isclose(
+        np.sort(oracle_s, axis=1)[:, 1:], np.sort(oracle_s, axis=1)[:, :-1],
+        rtol=1e-6).all()
+    if ties:
+        np.testing.assert_array_equal(idx, oracle_i)
+
+
+def test_exact_topk(rng):
+    q, c = _make(rng)
+    s, i = exact_topk(jnp.asarray(q), jnp.asarray(c), 10)
+    _check(s, i, *_oracle_topk(q, c, 10))
+
+
+def test_exact_topk_with_padding(rng):
+    q, c = _make(rng)
+    size = 3000
+    s, i = exact_topk(jnp.asarray(q), jnp.asarray(c), 10, size=size)
+    _check(s, i, *_oracle_topk(q, c, 10, size=size))
+    assert np.asarray(i).max() < size
+
+
+def test_chunked_topk(rng):
+    q, c = _make(rng, n=8192)
+    s, i = chunked_topk(jnp.asarray(q), jnp.asarray(c), 10, chunk=1024)
+    _check(s, i, *_oracle_topk(q, c, 10))
+
+
+def test_chunked_topk_padding(rng):
+    q, c = _make(rng, n=8192)
+    s, i = chunked_topk(jnp.asarray(q), jnp.asarray(c), 7, size=5000,
+                        chunk=1024)
+    _check(s, i, *_oracle_topk(q, c, 7, size=5000))
+
+
+@pytest.mark.parametrize("k", [1, 10, 32])
+def test_pallas_topk_interpret(rng, k):
+    q, c = _make(rng, b=8, n=2048, d=128)
+    s, i = pallas_topk(jnp.asarray(q), jnp.asarray(c), k, tile=512,
+                       interpret=True)
+    _check(s, i, *_oracle_topk(q, c, k))
+
+
+def test_pallas_topk_padding(rng):
+    q, c = _make(rng, b=8, n=2048, d=128)
+    s, i = pallas_topk(jnp.asarray(q), jnp.asarray(c), 10, size=1500,
+                       tile=512, interpret=True)
+    _check(s, i, *_oracle_topk(q, c, 10, size=1500))
+    assert np.asarray(i).max() < 1500
+
+
+def test_dispatch_topk_cpu(rng):
+    q, c = _make(rng, n=2048)
+    s, i = dispatch_topk(jnp.asarray(q), jnp.asarray(c), 5)
+    _check(s, i, *_oracle_topk(q, c, 5))
+
+
+def test_recall_at_10_is_one_vs_oracle(rng):
+    """BASELINE.json config[0]: recall@10 == 1.0 vs exact brute force."""
+    q, c = _make(rng, b=16, n=4096, d=256)
+    _, oracle_i = _oracle_topk(q, c, 10)
+    _, i = exact_topk(jnp.asarray(q), jnp.asarray(c), 10)
+    i = np.asarray(i)
+    recall = np.mean([
+        len(set(i[r]) & set(oracle_i[r])) / 10 for r in range(len(q))])
+    assert recall == 1.0
