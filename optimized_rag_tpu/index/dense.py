@@ -1,0 +1,170 @@
+"""Dense embedding index: a padded, growable matrix of unit vectors.
+
+TPU-native replacement for the pgvector ``document_chunks(embedding
+vector(D))`` table and its HNSW/IVFFlat indexes
+(reference: rag/document_store.py:125-236, 424-460).
+
+Design for XLA static shapes (SURVEY.md §7 "hard parts"):
+  * capacity is padded up in fixed blocks; ``size`` masks the tail, so adds
+    never trigger recompilation until a (rare) capacity doubling.
+  * deletes are tombstones: the row is zeroed (score contribution 0) and the
+    id recorded host-side; searches oversample by the live tombstone count
+    and filter, and ``compact()`` rebuilds densely — segment-merge style.
+  * vectors are L2-normalized at add time so cosine == dot and search is a
+    single fused matmul+top-k (ops/topk.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimized_rag_tpu.ops.similarity import normalize
+from optimized_rag_tpu.ops.topk import dispatch_topk
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class DenseSearchResult:
+    scores: np.ndarray   # [B, k] f32
+    ids: np.ndarray      # [B, k] int64 (-1 for missing)
+
+
+class DenseIndex:
+    """Exact (brute-force, MXU-fused) dense index.
+
+    Exact search is the recall gold standard (BASELINE.json config[0]); the
+    IVF index (index/ivf.py) builds on the same storage for >1M vectors.
+    """
+
+    def __init__(self, dim: int, capacity_block: int = 65536,
+                 dtype=jnp.float32, tile: int = 1024):
+        self.dim = dim
+        self.capacity_block = _round_up(capacity_block, tile)
+        self.tile = tile
+        self.dtype = dtype
+        self.size = 0
+        self._emb = jnp.zeros((self.capacity_block, dim), dtype)
+        self._tombstones: set[int] = set()
+
+    # ------------------------------------------------------------- mutation
+
+    @property
+    def capacity(self) -> int:
+        return self._emb.shape[0]
+
+    def _ensure_capacity(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap = _round_up(needed, self.capacity_block)
+        pad = jnp.zeros((new_cap - self.capacity, self.dim), self.dtype)
+        self._emb = jnp.concatenate([self._emb, pad], axis=0)
+
+    def add(self, embeddings) -> np.ndarray:
+        """Append embeddings [n, dim]; returns their assigned int64 ids."""
+        emb = jnp.asarray(embeddings)
+        assert emb.ndim == 2 and emb.shape[1] == self.dim, emb.shape
+        n = emb.shape[0]
+        self._ensure_capacity(self.size + n)
+        emb = normalize(emb).astype(self.dtype)
+        self._emb = jax.lax.dynamic_update_slice(
+            self._emb, emb, (self.size, 0))
+        ids = np.arange(self.size, self.size + n, dtype=np.int64)
+        self.size += n
+        return ids
+
+    def delete(self, ids) -> None:
+        """Tombstone rows; they stop matching after this call."""
+        ids = np.asarray(ids, np.int64)
+        live = [int(i) for i in ids if 0 <= i < self.size
+                and i not in self._tombstones]
+        if not live:
+            return
+        zeros = jnp.zeros((len(live), self.dim), self.dtype)
+        self._emb = self._emb.at[jnp.asarray(live)].set(zeros)
+        self._tombstones.update(live)
+
+    def compact(self) -> np.ndarray:
+        """Drop tombstoned rows; returns old_id -> new_id mapping (-1 gone)."""
+        keep = np.array([i for i in range(self.size)
+                         if i not in self._tombstones], np.int64)
+        mapping = np.full(self.size, -1, np.int64)
+        mapping[keep] = np.arange(len(keep))
+        new_cap = max(self.capacity_block, _round_up(len(keep), self.tile))
+        new_emb = jnp.zeros((new_cap, self.dim), self.dtype)
+        if len(keep):
+            new_emb = jax.lax.dynamic_update_slice(
+                new_emb, self._emb[jnp.asarray(keep)], (0, 0))
+        self._emb = new_emb
+        self.size = len(keep)
+        self._tombstones.clear()
+        return mapping
+
+    # --------------------------------------------------------------- search
+
+    def embeddings(self) -> jax.Array:
+        """The padded device matrix [capacity, dim] (rows >= size are 0)."""
+        return self._emb
+
+    def get(self, ids) -> jax.Array:
+        return self._emb[jnp.asarray(np.asarray(ids, np.int64))]
+
+    def search(self, queries, k: int, *, prefer_pallas=None
+               ) -> DenseSearchResult:
+        """Fused top-k over live rows. queries [B, dim] (any scale)."""
+        q = normalize(jnp.atleast_2d(jnp.asarray(queries)))
+        if self.size == 0:
+            b = q.shape[0]
+            return DenseSearchResult(np.full((b, k), -np.inf, np.float32),
+                                     np.full((b, k), -1, np.int64))
+        # Oversample past tombstones (zeroed rows score 0.0 and could
+        # otherwise crowd out genuinely-negative matches).
+        slack = min(len(self._tombstones), max(0, self.size - k))
+        kk = min(k + slack, self.size)
+        scores, ids = dispatch_topk(q, self._emb, kk, size=self.size,
+                                    prefer_pallas=prefer_pallas,
+                                    tile=self.tile)
+        scores, ids = np.asarray(scores), np.asarray(ids, np.int64)
+        if self._tombstones or kk > k:
+            out_s = np.full((scores.shape[0], k), -np.inf, np.float32)
+            out_i = np.full((scores.shape[0], k), -1, np.int64)
+            for r in range(scores.shape[0]):
+                cols = [c for c in range(kk)
+                        if ids[r, c] >= 0 and
+                        int(ids[r, c]) not in self._tombstones][:k]
+                out_s[r, :len(cols)] = scores[r, cols]
+                out_i[r, :len(cols)] = ids[r, cols]
+            return DenseSearchResult(out_s, out_i)
+        return DenseSearchResult(scores, ids)
+
+    # ------------------------------------------------------------- snapshot
+
+    def state_dict(self) -> dict:
+        return {
+            "dim": self.dim, "size": self.size, "tile": self.tile,
+            "capacity_block": self.capacity_block,
+            "dtype": str(jnp.zeros((), self.dtype).dtype),
+            "embeddings": np.asarray(self._emb[:self.size]),
+            "tombstones": np.array(sorted(self._tombstones), np.int64),
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "DenseIndex":
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                 "float16": jnp.float16}[str(state["dtype"])]
+        idx = cls(int(state["dim"]), int(state["capacity_block"]),
+                  dtype, int(state["tile"]))
+        emb = state["embeddings"]
+        if len(emb):
+            idx._ensure_capacity(len(emb))
+            idx._emb = jax.lax.dynamic_update_slice(
+                idx._emb, jnp.asarray(emb, idx.dtype), (0, 0))
+            idx.size = len(emb)
+        idx._tombstones = set(int(i) for i in state.get("tombstones", []))
+        return idx

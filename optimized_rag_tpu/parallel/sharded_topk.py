@@ -1,0 +1,151 @@
+"""Sharded dense top-k: per-shard fused top-k + all-gather merge.
+
+The scaling pattern for BASELINE.json config[4] (10M vectors over a v5e-8
+mesh): the embedding matrix lives row-sharded across ICI, every chip runs
+the fused matmul+top-k over its local shard (ops/topk.py), and the k
+winners per shard — a tiny [devices, B, k] tensor — are all-gathered and
+re-top-k'd. Collective volume is O(devices * B * k), independent of N.
+
+Implemented with ``shard_map`` so the per-shard body is exactly the
+single-chip kernel; XLA inserts the all-gather over the ICI ring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from optimized_rag_tpu.ops.similarity import normalize
+from optimized_rag_tpu.ops.topk import chunked_topk, exact_topk, pallas_topk
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "axis", "impl", "tile", "chunk"))
+def sharded_topk(queries: jax.Array, corpus: jax.Array, k: int, *,
+                 mesh: Mesh, sizes: jax.Array, axis: str = "data",
+                 impl: str = "auto", tile: int = 1024, chunk: int = 65536):
+    """Top-k over a row-sharded corpus.
+
+    queries [B, D] replicated; corpus [N, D] sharded on rows over ``axis``;
+    sizes [devices] — live rows per shard (shards are padded to equal
+    static shape). Returns (scores [B,k], global_ids [B,k]).
+    """
+    ndev = mesh.shape[axis]
+    n = corpus.shape[0]
+    assert n % ndev == 0
+    shard_rows = n // ndev
+
+    def local(q, c, sizes_local):
+        my = jax.lax.axis_index(axis)
+        size = sizes_local[0]
+        kk = min(k, shard_rows)
+        if impl == "pallas":
+            s, i = pallas_topk(q, c, kk, size=size, tile=tile,
+                               interpret=jax.default_backend() != "tpu")
+        elif impl == "chunked":
+            s, i = chunked_topk(q, c, kk, size=size, chunk=chunk)
+        else:
+            s, i = exact_topk(q, c, kk, size=size)
+        gid = i + my.astype(jnp.int32) * shard_rows
+        # [B, kk] -> all-gather to [B, ndev*kk]; merge replicated.
+        gs = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        gi = jax.lax.all_gather(gid, axis, axis=1, tiled=True)
+        top_s, pos = jax.lax.top_k(gs, k)
+        top_i = jnp.take_along_axis(gi, pos, axis=1)
+        return top_s, top_i
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()), check_vma=False)
+    return fn(queries, corpus, sizes)
+
+
+class ShardedDenseIndex:
+    """Dense index whose storage is row-sharded over the mesh data axis.
+
+    Rows are round-robin assigned to shards so growth stays balanced; a
+    [devices] ``sizes`` vector masks per-shard padding. Global ids encode
+    (shard, slot) so results map straight back to document ids.
+    """
+
+    def __init__(self, dim: int, mesh: Mesh, capacity_block: int = 8192,
+                 dtype=jnp.float32, tile: int = 1024, axis: str = "data"):
+        self.dim = dim
+        self.mesh = mesh
+        self.axis = axis
+        self.ndev = mesh.shape[axis]
+        self.tile = tile
+        self.dtype = dtype
+        self.shard_capacity = max(
+            tile, ((capacity_block + self.ndev - 1) // self.ndev + tile - 1)
+            // tile * tile)
+        self._sizes = np.zeros(self.ndev, np.int32)
+        self._emb = jax.device_put(
+            jnp.zeros((self.ndev * self.shard_capacity, dim), dtype),
+            NamedSharding(mesh, P(axis, None)))
+        self._id_map: list[np.ndarray] = []  # global row id per insert order
+
+    @property
+    def size(self) -> int:
+        return int(self._sizes.sum())
+
+    def _grow(self) -> None:
+        old = self._emb
+        new_cap = self.shard_capacity * 2
+        grown = jnp.zeros((self.ndev, new_cap, self.dim), self.dtype)
+        grown = grown.at[:, :self.shard_capacity].set(
+            old.reshape(self.ndev, self.shard_capacity, self.dim))
+        self._emb = jax.device_put(
+            grown.reshape(self.ndev * new_cap, self.dim),
+            NamedSharding(self.mesh, P(self.axis, None)))
+        self.shard_capacity = new_cap
+
+    def add(self, embeddings) -> np.ndarray:
+        """Append embeddings [n, dim]; returns dense external ids."""
+        emb = normalize(jnp.asarray(embeddings)).astype(self.dtype)
+        n = emb.shape[0]
+        ext_start = sum(len(m) for m in self._id_map)
+        # Balance: fill the least-loaded shard first.
+        placements = []
+        sizes = self._sizes.copy()
+        for _ in range(n):
+            s = int(np.argmin(sizes))
+            placements.append((s, int(sizes[s])))
+            sizes[s] += 1
+        while sizes.max() > self.shard_capacity:
+            self._grow()
+        rows = np.array([s * self.shard_capacity + slot
+                         for s, slot in placements], np.int64)
+        self._emb = self._emb.at[jnp.asarray(rows)].set(emb)
+        self._sizes = sizes
+        self._id_map.append(rows)
+        return np.arange(ext_start, ext_start + n, dtype=np.int64)
+
+    def search(self, queries, k: int, impl: str = "auto"):
+        q = normalize(jnp.atleast_2d(jnp.asarray(queries))).astype(jnp.float32)
+        if self.size == 0:
+            b = q.shape[0]
+            return (np.full((b, k), -np.inf, np.float32),
+                    np.full((b, k), -1, np.int64))
+        kk = min(k, self.size)
+        scores, rows = sharded_topk(
+            q, self._emb, kk, mesh=self.mesh,
+            sizes=jnp.asarray(self._sizes), axis=self.axis, impl=impl,
+            tile=self.tile)
+        scores, rows = np.asarray(scores), np.asarray(rows, np.int64)
+        # Map storage rows -> external ids.
+        all_rows = (np.concatenate(self._id_map) if self._id_map
+                    else np.zeros(0, np.int64))
+        row_to_ext = {int(r): e for e, r in enumerate(all_rows)}
+        ids = np.vectorize(lambda r: row_to_ext.get(int(r), -1))(rows)
+        if kk < k:
+            pad = k - kk
+            scores = np.pad(scores, ((0, 0), (0, pad)),
+                            constant_values=-np.inf)
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return scores.astype(np.float32), ids.astype(np.int64)

@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The environment's boot hook (sitecustomize -> axon.register) force-sets
+# jax_platforms="axon,cpu" via jax.config at interpreter start, which
+# overrides the env var above — override it back before any backend init.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

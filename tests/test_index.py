@@ -1,0 +1,182 @@
+"""Dense / lexical / IVF index behavior vs exact oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from optimized_rag_tpu.index.dense import DenseIndex
+from optimized_rag_tpu.index.ivf import IVFIndex
+from optimized_rag_tpu.index.lexical import LexicalIndex, lexical_tokens
+from optimized_rag_tpu.index.snapshot import load_state, save_state
+
+
+def _unit(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+# --------------------------------------------------------------------- dense
+
+def test_dense_add_search_exact(rng):
+    idx = DenseIndex(dim=64, capacity_block=1024, tile=256)
+    docs = _unit(rng, 500, 64)
+    ids = idx.add(docs)
+    assert ids.tolist() == list(range(500))
+    q = _unit(rng, 3, 64)
+    res = idx.search(q, k=5)
+    oracle = np.argsort(-(q @ docs.T), axis=1)[:, :5]
+    np.testing.assert_array_equal(res.ids, oracle)
+
+
+def test_dense_growth_across_capacity_block(rng):
+    idx = DenseIndex(dim=32, capacity_block=256, tile=256)
+    a = idx.add(_unit(rng, 200, 32))
+    b = idx.add(_unit(rng, 200, 32))  # crosses 256 capacity
+    assert idx.capacity >= 400 and idx.size == 400
+    assert b[0] == 200
+    res = idx.search(_unit(rng, 1, 32), k=10)
+    assert (res.ids >= 0).all()
+
+
+def test_dense_delete_excludes_and_compact_remaps(rng):
+    idx = DenseIndex(dim=32, capacity_block=256, tile=256)
+    docs = _unit(rng, 50, 32)
+    idx.add(docs)
+    # Query identical to doc 7 -> doc 7 is the top hit; delete it.
+    q = docs[7:8]
+    assert idx.search(q, k=1).ids[0, 0] == 7
+    idx.delete([7])
+    res = idx.search(q, k=3)
+    assert 7 not in res.ids
+    mapping = idx.compact()
+    assert mapping[7] == -1 and idx.size == 49
+    assert mapping[8] == 7  # shifted down
+    res2 = idx.search(q, k=1)
+    assert res2.ids[0, 0] == mapping[np.argsort(-(q @ docs.T))[0][1]]
+
+
+def test_dense_empty_search(rng):
+    idx = DenseIndex(dim=16, capacity_block=256, tile=256)
+    res = idx.search(_unit(rng, 2, 16), k=4)
+    assert (res.ids == -1).all()
+
+
+def test_dense_snapshot_roundtrip(tmp_path, rng):
+    idx = DenseIndex(dim=32, capacity_block=256, tile=256)
+    docs = _unit(rng, 100, 32)
+    idx.add(docs)
+    idx.delete([3])
+    save_state(str(tmp_path), "dense", idx.state_dict())
+    idx2 = DenseIndex.from_state_dict(load_state(str(tmp_path), "dense"))
+    q = _unit(rng, 2, 32)
+    r1, r2 = idx.search(q, 5), idx2.search(q, 5)
+    np.testing.assert_array_equal(r1.ids, r2.ids)
+    np.testing.assert_allclose(r1.scores, r2.scores, atol=1e-6)
+
+
+# ------------------------------------------------------------------- lexical
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "machine learning on tensor processing units",
+    "quick sort and merge sort algorithms",
+    "deep learning models require massive compute",
+    "the fox hunted rabbits in the brown forest",
+]
+
+
+def test_lexical_tokens_drop_stopwords():
+    assert "the" not in lexical_tokens("the quick fox")
+    assert lexical_tokens("Quick FOX!") == ["quick", "fox"]
+
+
+def test_lexical_search_finds_term_matches():
+    idx = LexicalIndex(vocab_hash_bits=12, cap=16)
+    idx.add(CORPUS)
+    scores, ids = idx.search("brown fox", k=3)
+    assert set(ids[ids >= 0]) == {0, 4}  # the two fox/brown docs
+    assert (scores[:2] > 0).all()
+
+
+def test_lexical_no_match_returns_minus_one():
+    idx = LexicalIndex(vocab_hash_bits=12, cap=16)
+    idx.add(CORPUS)
+    scores, ids = idx.search("zzzqqq nonexistent", k=3)
+    assert (ids == -1).all()
+
+
+def test_lexical_matches_rank_bm25_oracle(rng):
+    """Exactness vs an independent BM25 implementation when cap >= df."""
+    idx = LexicalIndex(vocab_hash_bits=14, cap=64)
+    idx.add(CORPUS)
+    scores, ids = idx.search("learning compute", k=5)
+    # Oracle
+    toks = [lexical_tokens(t) for t in CORPUS]
+    n = len(toks)
+    avg = np.mean([len(t) for t in toks])
+    want = np.zeros(n)
+    for term in ["learning", "compute"]:
+        df = sum(term in t for t in toks)
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1)
+        for d, t in enumerate(toks):
+            tf = t.count(term)
+            if tf:
+                want[d] += idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * len(t) / avg))
+    order = np.argsort(-want)
+    matched = order[want[order] > 0]
+    np.testing.assert_array_equal(ids[:len(matched)], matched)
+    np.testing.assert_allclose(scores[:len(matched)], want[matched], rtol=1e-4)
+
+
+def test_lexical_snapshot_roundtrip(tmp_path):
+    idx = LexicalIndex(vocab_hash_bits=12, cap=16)
+    idx.add(CORPUS)
+    save_state(str(tmp_path), "lex", idx.state_dict())
+    idx2 = LexicalIndex.from_state_dict(load_state(str(tmp_path), "lex"))
+    s1, i1 = idx.search("brown fox", 3)
+    s2, i2 = idx2.search("brown fox", 3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+# ----------------------------------------------------------------------- IVF
+
+def test_ivf_full_probe_equals_exact(rng):
+    docs = _unit(rng, 2000, 64)
+    ivf = IVFIndex(num_clusters=16, nprobe=16, tile=128, seed=0)
+    ivf.build(docs)
+    q = _unit(rng, 4, 64)
+    s, ids = ivf.search(q, k=10)
+    oracle = np.argsort(-(q @ docs.T), axis=1)[:, :10]
+    # probing all clusters == exact search
+    np.testing.assert_array_equal(np.sort(ids, axis=1), np.sort(oracle, axis=1))
+
+
+def test_ivf_partial_probe_recall(rng):
+    # Clustered data: partial probing should still get high recall.
+    centers = _unit(rng, 32, 64) * 3
+    docs = np.concatenate(
+        [c + 0.3 * rng.standard_normal((64, 64)).astype(np.float32)
+         for c in centers])
+    docs = docs / np.linalg.norm(docs, axis=1, keepdims=True)
+    ivf = IVFIndex(num_clusters=32, nprobe=8, tile=128, seed=0)
+    ivf.build(docs)
+    q = docs[::100][:8] + 0.01 * rng.standard_normal((8, 64)).astype(np.float32)
+    _, ids = ivf.search(q, k=10)
+    oracle = np.argsort(-(q @ docs.T), axis=1)[:, :10]
+    recall = np.mean([len(set(ids[r]) & set(oracle[r])) / 10
+                      for r in range(len(q))])
+    assert recall >= 0.9, recall
+
+
+def test_ivf_custom_ids_and_snapshot(tmp_path, rng):
+    docs = _unit(rng, 600, 32)
+    ext_ids = np.arange(600) * 7  # non-contiguous external ids
+    ivf = IVFIndex(num_clusters=8, nprobe=8, tile=128)
+    ivf.build(docs, ids=ext_ids)
+    q = docs[42:43]
+    _, ids = ivf.search(q, k=1)
+    assert ids[0, 0] == 42 * 7
+    save_state(str(tmp_path), "ivf", ivf.state_dict())
+    ivf2 = IVFIndex.from_state_dict(load_state(str(tmp_path), "ivf"))
+    _, ids2 = ivf2.search(q, k=1)
+    assert ids2[0, 0] == 42 * 7

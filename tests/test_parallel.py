@@ -1,0 +1,94 @@
+"""Sharded top-k over the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimized_rag_tpu.parallel.mesh import (
+    corpus_sharding, make_mesh, shard_corpus)
+from optimized_rag_tpu.parallel.sharded_topk import (
+    ShardedDenseIndex, sharded_topk)
+
+
+def _unit(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_topk_matches_oracle(rng):
+    mesh = make_mesh(data=8)
+    n, d, k = 8 * 512, 64, 10
+    docs = _unit(rng, n, d)
+    q = _unit(rng, 4, d)
+    corpus = shard_corpus(mesh, jnp.asarray(docs))
+    sizes = jnp.full((8,), n // 8, jnp.int32)
+    s, ids = sharded_topk(jnp.asarray(q), corpus, k, mesh=mesh, sizes=sizes)
+    oracle = np.argsort(-(q @ docs.T), axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(ids), oracle)
+
+
+def test_sharded_topk_respects_per_shard_sizes(rng):
+    mesh = make_mesh(data=8)
+    n, d, k = 8 * 256, 32, 5
+    docs = _unit(rng, n, d)
+    # Only the first 100 rows of each shard are live.
+    live = np.zeros(n, bool)
+    per = n // 8
+    for s in range(8):
+        live[s * per: s * per + 100] = True
+    corpus = shard_corpus(mesh, jnp.asarray(docs))
+    sizes = jnp.full((8,), 100, jnp.int32)
+    q = _unit(rng, 2, d)
+    _, ids = sharded_topk(jnp.asarray(q), corpus, k, mesh=mesh, sizes=sizes)
+    ids = np.asarray(ids)
+    assert live[ids].all()
+    scores_masked = q @ docs.T
+    scores_masked[:, ~live] = -np.inf
+    oracle = np.argsort(-scores_masked, axis=1)[:, :k]
+    np.testing.assert_array_equal(ids, oracle)
+
+
+@pytest.mark.parametrize("impl", ["auto", "chunked", "pallas"])
+def test_sharded_topk_impls_agree(rng, impl):
+    mesh = make_mesh(data=8)
+    n, d, k = 8 * 1024, 32, 7
+    docs = _unit(rng, n, d)
+    q = _unit(rng, 2, d)
+    corpus = shard_corpus(mesh, jnp.asarray(docs))
+    sizes = jnp.full((8,), n // 8, jnp.int32)
+    kwargs = dict(mesh=mesh, sizes=sizes, tile=256, chunk=256)
+    _, ids = sharded_topk(jnp.asarray(q), corpus, k, impl=impl, **kwargs)
+    oracle = np.argsort(-(q @ docs.T), axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(ids), oracle)
+
+
+def test_sharded_dense_index_add_and_search(rng):
+    mesh = make_mesh(data=8)
+    idx = ShardedDenseIndex(dim=32, mesh=mesh, capacity_block=8 * 256,
+                            tile=256)
+    docs = _unit(rng, 300, 32)
+    ids = idx.add(docs)
+    assert ids.tolist() == list(range(300))
+    q = docs[17:18]
+    scores, got = idx.search(q, k=3)
+    assert got[0, 0] == 17
+    assert scores[0, 0] > 0.999
+
+
+def test_sharded_dense_index_incremental_adds(rng):
+    mesh = make_mesh(data=8)
+    idx = ShardedDenseIndex(dim=16, mesh=mesh, capacity_block=8 * 256,
+                            tile=256)
+    a = _unit(rng, 100, 16)
+    b = _unit(rng, 100, 16)
+    idx.add(a)
+    ids_b = idx.add(b)
+    assert ids_b[0] == 100
+    q = b[5:6]
+    _, got = idx.search(q, k=1)
+    assert got[0, 0] == 105
