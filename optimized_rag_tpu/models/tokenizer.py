@@ -1,0 +1,109 @@
+"""Offline deterministic tokenizer.
+
+The environment has no network egress, so there is no pretrained vocab to
+download; the encoder is trained from scratch on-corpus. The tokenizer is
+therefore a *hashing* tokenizer: lowercase word split, FNV-1a hash into a
+fixed id space, plus character-trigram sub-tokens for long/rare words so
+OOV surface forms share structure (the same trick as hashing vectorizers).
+
+Deterministic across processes (no Python hash() salt), zero files, and
+fast enough to live in the ingestion hot loop. If a real WordPiece vocab is
+available locally, models/loader.py can swap one in behind the same API.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]", re.UNICODE)
+
+PAD_ID = 0
+CLS_ID = 1
+SEP_ID = 2
+MASK_ID = 3
+NUM_SPECIAL = 4
+_TRIGRAM_SPLIT_LEN = 12  # words longer than this also emit trigram pieces
+
+
+def _fnv1a(data: bytes) -> int:
+    h = 2166136261
+    for byte in data:
+        h = ((h ^ byte) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+class HashTokenizer:
+    def __init__(self, vocab_size: int = 32768, max_len: int = 512):
+        assert vocab_size > NUM_SPECIAL
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+        self._space = vocab_size - NUM_SPECIAL
+
+    def _tid(self, token: str) -> int:
+        return NUM_SPECIAL + _fnv1a(token.encode("utf-8")) % self._space
+
+    def tokenize(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for w in _WORD_RE.findall(text.lower()):
+            ids.append(self._tid(w))
+            if len(w) > _TRIGRAM_SPLIT_LEN:
+                ids.extend(self._tid("##" + w[i:i + 3])
+                           for i in range(0, len(w) - 2, 3))
+        return ids
+
+    def encode(self, text: str, max_len: int | None = None):
+        """Single text -> (ids [L], mask [L]) with [CLS] ... [SEP]."""
+        max_len = max_len or self.max_len
+        body = self.tokenize(text)[: max_len - 2]
+        ids = [CLS_ID] + body + [SEP_ID]
+        mask = [1] * len(ids)
+        pad = max_len - len(ids)
+        return (np.asarray(ids + [PAD_ID] * pad, np.int32),
+                np.asarray(mask + [0] * pad, np.int32))
+
+    def encode_batch(self, texts: list[str], max_len: int | None = None,
+                     pad_to_multiple: int = 8):
+        """Batch encode with dynamic-but-bucketed padding.
+
+        Bucketing the sequence length to a multiple keeps the number of
+        distinct compiled shapes small (XLA static-shape friendly).
+        """
+        cap = max_len or self.max_len
+        toks = [self.tokenize(t)[: cap - 2] for t in texts]
+        longest = max((len(t) for t in toks), default=0) + 2
+        length = min(cap, -(-longest // pad_to_multiple) * pad_to_multiple)
+        ids = np.full((len(texts), length), PAD_ID, np.int32)
+        mask = np.zeros((len(texts), length), np.int32)
+        for r, t in enumerate(toks):
+            row = [CLS_ID] + t[: length - 2] + [SEP_ID]
+            ids[r, :len(row)] = row
+            mask[r, :len(row)] = 1
+        return ids, mask
+
+    def encode_pairs(self, pairs: list[tuple[str, str]],
+                     max_len: int | None = None, pad_to_multiple: int = 8):
+        """(query, doc) pairs -> (ids, mask, type_ids) for the cross-encoder.
+
+        Layout: [CLS] query [SEP] doc [SEP]; type 0 for query, 1 for doc
+        (mirrors the ms-marco cross-encoder input of rag/reranker.py:355).
+        """
+        cap = max_len or self.max_len
+        rows = []
+        for q, d in pairs:
+            qt = self.tokenize(q)[: cap // 4]
+            dt = self.tokenize(d)[: cap - len(qt) - 3]
+            row = ([CLS_ID] + qt + [SEP_ID], dt + [SEP_ID])
+            rows.append(row)
+        longest = max((len(a) + len(b) for a, b in rows), default=0)
+        length = min(cap, -(-longest // pad_to_multiple) * pad_to_multiple)
+        ids = np.full((len(pairs), length), PAD_ID, np.int32)
+        mask = np.zeros((len(pairs), length), np.int32)
+        types = np.zeros((len(pairs), length), np.int32)
+        for r, (a, b) in enumerate(rows):
+            row = (a + b)[:length]
+            ids[r, :len(row)] = row
+            mask[r, :len(row)] = 1
+            types[r, len(a):len(row)] = 1
+        return ids, mask, types
