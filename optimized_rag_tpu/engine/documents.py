@@ -1,0 +1,82 @@
+"""Document text extraction: TXT / MD / HTML (+ PDF when pypdf exists).
+
+Re-implements rag/document_processor.py:15-177. The environment ships no
+PDF library, so PDF support activates only if ``pypdf``/``PyPDF2`` is
+importable; everything else is dependency-free.
+"""
+
+from __future__ import annotations
+
+import html.parser
+import os
+from typing import Dict
+
+from optimized_rag_tpu.engine.wrangler import DataWrangler
+
+
+class _HTMLText(html.parser.HTMLParser):
+    _SKIP = {"script", "style", "head", "noscript"}
+
+    def __init__(self):
+        super().__init__()
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        elif tag in ("p", "br", "div", "li", "tr", "h1", "h2", "h3", "h4"):
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if not self._skip_depth:
+            self.parts.append(data)
+
+
+def html_to_text(markup: str) -> str:
+    p = _HTMLText()
+    p.feed(markup)
+    return "".join(p.parts)
+
+
+class DocumentProcessor:
+    SUPPORTED = (".txt", ".md", ".markdown", ".html", ".htm", ".pdf")
+
+    def __init__(self, wrangler: DataWrangler | None = None):
+        self.wrangler = wrangler or DataWrangler()
+
+    def extract_text(self, path: str) -> str:
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".txt", ".md", ".markdown"):
+            with open(path, encoding="utf-8", errors="replace") as f:
+                return f.read()
+        if ext in (".html", ".htm"):
+            with open(path, encoding="utf-8", errors="replace") as f:
+                return html_to_text(f.read())
+        if ext == ".pdf":
+            return self._extract_pdf(path)
+        raise ValueError(f"unsupported file type: {ext}")
+
+    @staticmethod
+    def _extract_pdf(path: str) -> str:
+        try:
+            import pypdf
+            reader = pypdf.PdfReader(path)
+        except ImportError:
+            try:
+                import PyPDF2
+                reader = PyPDF2.PdfReader(path)
+            except ImportError as exc:
+                raise RuntimeError(
+                    "PDF support requires pypdf/PyPDF2, not present in this "
+                    "environment") from exc
+        return "\n".join(page.extract_text() or "" for page in reader.pages)
+
+    def process_file(self, path: str, metadata: Dict | None = None) -> Dict:
+        text = self.extract_text(path)
+        meta = {"filename": os.path.basename(path), **(metadata or {})}
+        return self.wrangler.process(text, meta)

@@ -1,0 +1,150 @@
+"""Hybrid retriever: dense + BM25 + temporal fusion, fully on device.
+
+Replaces the reference HybridRetriever (rag/retrieval.py:13-371) whose
+hybrid score ``alpha*semantic + beta*bm25 + gamma*recency`` was computed in
+Python dict loops over pgvector/rank_bm25 results. Here:
+
+  * dense candidates: fused matmul+top-k over the DenseIndex (or a
+    ShardedDenseIndex / IVFIndex — anything with .search(q, k))
+  * keyword candidates: champion-list BM25 (index/lexical.py)
+  * the candidate union is scored on all three channels as one
+    [3, n_candidates] tensor and fused with ops.weighted_fusion using
+    DW-GRPO weights
+
+Recency decay is 0.5^(age_days/half_life) (reference rag/retrieval.py:283).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from optimized_rag_tpu.engine.types import (
+    Intent, RetrievedDoc, Source, intent_weights, retrieval_strategy)
+from optimized_rag_tpu.index.dense import DenseIndex
+from optimized_rag_tpu.index.lexical import LexicalIndex
+from optimized_rag_tpu.ops.fusion import temporal_decay, weighted_fusion
+
+
+class HybridRetriever:
+    """Multi-channel retrieval over one corpus (documents, archival, ...).
+
+    ``texts``/``created_at`` providers map doc ids to payloads — the host
+    metadata store (store/db.py) supplies them; tests use plain lists.
+    """
+
+    def __init__(self, dense: DenseIndex, lexical: Optional[LexicalIndex],
+                 embed_fn: Callable[[List[str]], np.ndarray],
+                 get_text: Callable[[int], str],
+                 get_created_at: Optional[Callable[[int], float]] = None,
+                 half_life_days: float = 30.0,
+                 source: Source = Source.DOCUMENTS,
+                 candidate_k: int = 50):
+        self.dense = dense
+        self.lexical = lexical
+        self.embed_fn = embed_fn
+        self.get_text = get_text
+        self.get_created_at = get_created_at
+        self.half_life_days = half_life_days
+        self.source = source
+        self.candidate_k = candidate_k
+
+    # ----------------------------------------------------------------- API
+
+    def retrieve(self, query: str, top_k: int = 10,
+                 intent: Intent | str | None = None,
+                 weights: Optional[Dict[str, float]] = None,
+                 query_embedding: Optional[np.ndarray] = None
+                 ) -> List[RetrievedDoc]:
+        """Hybrid retrieve honoring the per-intent strategy table."""
+        strategy = retrieval_strategy(intent)
+        if not strategy["use_hybrid"] or self.lexical is None \
+                or self.lexical.size == 0:
+            return self.dense_only(query, top_k, query_embedding)
+        return self.hybrid_search(query, top_k, intent, weights,
+                                  query_embedding)
+
+    def dense_only(self, query: str, top_k: int,
+                   query_embedding: Optional[np.ndarray] = None
+                   ) -> List[RetrievedDoc]:
+        q = (query_embedding if query_embedding is not None
+             else self.embed_fn([query]))
+        res = self.dense.search(np.atleast_2d(q), k=top_k)
+        out = []
+        for score, did in zip(res.scores[0], res.ids[0]):
+            if did < 0:
+                continue
+            out.append(self._mk(int(did), float(score),
+                                semantic=float(score)))
+        return out
+
+    def hybrid_search(self, query: str, top_k: int,
+                      intent: Intent | str | None = None,
+                      weights: Optional[Dict[str, float]] = None,
+                      query_embedding: Optional[np.ndarray] = None
+                      ) -> List[RetrievedDoc]:
+        if weights is None:
+            a, b, g = intent_weights(intent)
+            weights = {"semantic": a, "keyword": b, "temporal": g}
+        ck = max(self.candidate_k, top_k)
+        q = (query_embedding if query_embedding is not None
+             else self.embed_fn([query]))
+        q = np.atleast_2d(q)
+
+        dres = self.dense.search(q, k=min(ck, max(self.dense.size, 1)))
+        dense_ids = [int(i) for i in dres.ids[0] if i >= 0]
+        dense_scores = {int(i): float(s)
+                        for s, i in zip(dres.scores[0], dres.ids[0]) if i >= 0}
+
+        lex_scores: Dict[int, float] = {}
+        if self.lexical is not None and self.lexical.size > 0:
+            ls, li = self.lexical.search(query, k=ck)
+            lex_scores = {int(i): float(s) for s, i in zip(ls, li) if i >= 0}
+
+        cand = sorted(set(dense_ids) | set(lex_scores))
+        if not cand:
+            return []
+
+        # Channel scores over the candidate union.
+        sem = np.asarray([dense_scores.get(c, self._semantic_of(q, c))
+                          for c in cand], np.float32)
+        kw = np.asarray([lex_scores.get(c, 0.0) for c in cand], np.float32)
+        if self.get_created_at is not None:
+            now = time.time()
+            ages = np.asarray([(now - self.get_created_at(c)) / 86400.0
+                               for c in cand], np.float32)
+            tmp = np.asarray(temporal_decay(jnp.asarray(ages),
+                                            self.half_life_days))
+        else:
+            tmp = np.zeros(len(cand), np.float32)
+
+        stack = jnp.asarray(np.stack([sem, kw, tmp]))
+        w = jnp.asarray([weights.get("semantic", 0.55),
+                         weights.get("keyword", 0.35),
+                         weights.get("temporal", 0.10)], jnp.float32)
+        fused = np.asarray(weighted_fusion(stack, w))
+        order = np.argsort(-fused, kind="stable")[:top_k]
+        return [self._mk(cand[i], float(fused[i]), semantic=float(sem[i]),
+                         keyword=float(kw[i]), temporal=float(tmp[i]))
+                for i in order]
+
+    # ------------------------------------------------------------- helpers
+
+    def _semantic_of(self, q: np.ndarray, doc_id: int) -> float:
+        """Cosine for a lexical-only candidate (one dot against its row)."""
+        emb = np.asarray(self.dense.get([doc_id]))[0]
+        qn = q[0] / max(np.linalg.norm(q[0]), 1e-9)
+        return float(qn @ emb)
+
+    def _mk(self, doc_id: int, score: float, semantic=0.0, keyword=0.0,
+            temporal=0.0) -> RetrievedDoc:
+        return RetrievedDoc(
+            doc_id=doc_id, score=score, text=self.get_text(doc_id),
+            source=self.source,
+            created_at=(self.get_created_at(doc_id)
+                        if self.get_created_at else time.time()),
+            semantic_score=semantic, keyword_score=keyword,
+            temporal_score=temporal)

@@ -1,0 +1,340 @@
+"""Engine layer: hybrid retrieval, rerank policy, tiers, compression,
+consistency, chunking, wrangling, adaptive weights."""
+
+import numpy as np
+import pytest
+
+from optimized_rag_tpu.engine.adaptive import (
+    DynamicWeightManager, QueryComplexity, QueryFeatureExtractor)
+from optimized_rag_tpu.engine.chunking import (
+    FixedSizeChunker, RecursiveChunker, SemanticChunker)
+from optimized_rag_tpu.engine.compressor import ContextCompressor
+from optimized_rag_tpu.engine.consistency import (
+    ConsistencyChecker, is_contradiction)
+from optimized_rag_tpu.engine.hierarchical import (
+    ConfidenceEvaluator, HierarchicalRetriever)
+from optimized_rag_tpu.engine.rerank import SelectiveReranker
+from optimized_rag_tpu.engine.retriever import HybridRetriever
+from optimized_rag_tpu.engine.types import (
+    Intent, RetrievedDoc, Source, intent_weights, retrieval_strategy)
+from optimized_rag_tpu.index.dense import DenseIndex
+from optimized_rag_tpu.index.lexical import LexicalIndex
+
+from fakes import FakeCrossEncoder, FakeEmbedder
+
+CORPUS = [
+    "the transformer architecture uses attention mechanisms",
+    "tpus accelerate matrix multiplication with systolic arrays",
+    "postgres is a relational database with vector extensions",
+    "attention is all you need introduced transformers",
+    "bananas are rich in potassium and grow in tropical climates",
+    "systolic arrays pump data through multiply accumulate units",
+    "the cat sat on the warm windowsill in the sun",
+    "vector databases store embeddings for similarity search",
+]
+
+
+@pytest.fixture
+def embed():
+    return FakeEmbedder(dim=64)
+
+
+@pytest.fixture
+def retriever(embed):
+    dense = DenseIndex(dim=64, capacity_block=256, tile=256)
+    dense.add(embed(CORPUS))
+    lex = LexicalIndex(vocab_hash_bits=14, cap=32)
+    lex.add(CORPUS)
+    return HybridRetriever(
+        dense, lex, embed, get_text=lambda i: CORPUS[i],
+        get_created_at=lambda i: 0.0, candidate_k=8)
+
+
+# ------------------------------------------------------------------ adaptive
+
+def test_complexity_extraction():
+    fx = QueryFeatureExtractor()
+    assert fx.extract_complexity("compare x and y", None) == QueryComplexity.COMPLEX
+    assert fx.extract_complexity("what is a tpu", None) == QueryComplexity.SIMPLE
+    assert fx.extract_complexity("the weather there", None) == QueryComplexity.MODERATE
+
+
+def test_weights_normalized_and_boosted():
+    mgr = DynamicWeightManager()
+    w = mgr.calculate_optimal_weights("latest recent news today", "search")
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+    base = intent_weights("search")
+    assert w["temporal"] > base[2] / (sum(base))  # temporal boost applied
+
+
+def test_learning_shifts_weights():
+    mgr = DynamicWeightManager(learning_rate=0.5)
+    base = mgr.calculate_optimal_weights("something neutral here", "search")
+    for _ in range(6):
+        mgr.record_feedback({"semantic": 1.0, "keyword": 0.0,
+                             "temporal": 0.0, "knowledge_graph": 0.0},
+                            quality=1.0, intent="search",
+                            complexity=QueryComplexity.MODERATE)
+    learned = mgr.calculate_optimal_weights("something neutral here", "search")
+    assert learned["semantic"] > base["semantic"]
+
+
+def test_persistence_hooks_called():
+    calls = []
+
+    class FakeDB:
+        def load_learned_weights(self, *a):
+            return None
+
+        def save_performance(self, rec):
+            calls.append(("perf", rec))
+
+        def save_learned_weights(self, *a):
+            calls.append(("weights", a))
+
+    mgr = DynamicWeightManager(db=FakeDB(), persist_every=2)
+    for _ in range(5):
+        mgr.record_feedback({"semantic": .6, "keyword": .3, "temporal": .1,
+                             "knowledge_graph": 0}, 0.8, "search",
+                            QueryComplexity.SIMPLE)
+    kinds = [k for k, _ in calls]
+    assert kinds.count("perf") == 5 and "weights" in kinds
+
+
+# ----------------------------------------------------------------- retriever
+
+def test_hybrid_retrieve_relevant_docs(retriever):
+    docs = retriever.retrieve("systolic arrays matrix multiplication",
+                              top_k=3, intent=Intent.SEARCH)
+    ids = [d.doc_id for d in docs]
+    assert 1 in ids and 5 in ids       # both systolic-array docs
+    assert 4 not in ids[:2]            # bananas not on top
+
+
+def test_dense_only_path_for_conversational(retriever):
+    docs = retriever.retrieve("cat windowsill sun", top_k=2,
+                              intent=Intent.CONVERSATIONAL)
+    assert docs[0].doc_id == 6
+
+
+def test_hybrid_channel_scores_populated(retriever):
+    docs = retriever.hybrid_search("vector embeddings database", top_k=3)
+    top = docs[0]
+    assert top.keyword_score > 0 or top.semantic_score > 0
+    assert all(d.text for d in docs)
+
+
+def test_empty_corpus_retrieval(embed):
+    dense = DenseIndex(dim=64, capacity_block=256, tile=256)
+    r = HybridRetriever(dense, None, embed, get_text=lambda i: "")
+    assert r.retrieve("anything", top_k=3) == []
+
+
+# -------------------------------------------------------------------- rerank
+
+def _mk_docs(scores, texts=None):
+    return [RetrievedDoc(doc_id=i, score=s,
+                         text=(texts[i] if texts else f"doc {i}"))
+            for i, s in enumerate(scores)]
+
+
+def test_precision_intent_always_reranks():
+    sr = SelectiveReranker(cross_encoder=FakeCrossEncoder())
+    ok, reason = sr.should_rerank(_mk_docs([0.9, 0.8]), Intent.FACT_CHECKING)
+    assert ok and "precision" in reason
+
+
+def test_few_results_skip_unless_scores_low():
+    sr = SelectiveReranker(cross_encoder=FakeCrossEncoder())
+    ok, _ = sr.should_rerank(_mk_docs([0.8, 0.7, 0.6]), "unknown")
+    assert not ok
+    ok, reason = sr.should_rerank(_mk_docs([0.01, 0.02, 0.03]), "unknown")
+    assert ok and "low embedding scores" in reason.lower()
+
+
+def test_variance_rules():
+    sr = SelectiveReranker(cross_encoder=FakeCrossEncoder())
+    high_var = _mk_docs([0.9, 0.1, 0.9, 0.1, 0.9, 0.1, 0.9, 0.1])
+    ok, reason = sr.should_rerank(high_var, "unknown")
+    assert not ok and "high" in reason
+    low_var = _mk_docs([0.5, 0.5, 0.51, 0.49, 0.5, 0.5, 0.5, 0.5])
+    ok, reason = sr.should_rerank(low_var, "unknown")
+    assert ok and "low" in reason
+
+
+def test_rerank_blends_and_reorders():
+    texts = ["tpu systolic array", "completely unrelated words here"]
+    docs = _mk_docs([0.5, 0.9], texts)  # orig favors the wrong one
+    sr = SelectiveReranker(cross_encoder=FakeCrossEncoder(),
+                           blend_original=0.0)
+    out = sr.rerank("tpu systolic array", docs, Intent.SEARCH)
+    assert out[0].doc_id == 0
+    assert out[0].rerank_score is not None
+
+
+def test_mmr_diversifies(embed):
+    texts = ["tpu tpu tpu", "tpu tpu tpu", "unrelated banana topic"]
+    docs = _mk_docs([0.9, 0.89, 0.5], texts)
+    sr = SelectiveReranker(embed_fn=embed)
+    out = sr.apply_mmr(docs, k=2, lam=0.3)
+    assert {d.doc_id for d in out} == {0, 2}  # near-dup 1 dropped
+
+
+def test_rrf_merge():
+    l1 = _mk_docs([0.9, 0.8, 0.7])           # ids 0,1,2
+    l2 = [RetrievedDoc(doc_id=i, score=s, text=f"d{i}")
+          for i, s in [(1, 0.95), (3, 0.5)]]
+    out = SelectiveReranker.rrf_merge([l1, l2], k_out=3)
+    assert out[0].doc_id == 1  # appears in both lists
+
+
+# ---------------------------------------------------------------------- tiers
+
+def test_confidence_evaluator_blend():
+    ev = ConfidenceEvaluator()
+    strong = _mk_docs([0.9, 0.88, 0.87, 0.9, 0.89])
+    weak = _mk_docs([0.2, 0.1])
+    assert ev.evaluate_confidence(strong, "search") > \
+        ev.evaluate_confidence(weak, "search")
+    blended = ev.evaluate_confidence(strong, "search",
+                                     semantic_confidence=0.0)
+    assert blended < ev.evaluate_confidence(strong, "search")
+
+
+def test_tier1_answers_without_escalation(retriever):
+    hr = HierarchicalRetriever(
+        retriever,
+        core_memory_fn=lambda: {"facts": "the user name is alice and alice "
+                                         "likes tensor processing units"},
+        escalation_threshold=0.2, tier1_min_score=0.3)
+    docs, info = hr.retrieve("what is the user name alice likes",
+                             intent=Intent.QUESTION_ANSWERING)
+    assert info["tiers_used"] == [1]
+    assert docs[0].source == Source.CORE_MEMORY
+    assert hr.get_statistics()["tier1_hits"] == 1
+
+
+def test_escalates_to_tier2_and_tier3(retriever):
+    t3_calls = []
+
+    def tier3(query, intent):
+        t3_calls.append(query)
+        return [RetrievedDoc(doc_id=999, score=0.9, text="web result",
+                             source=Source.WEB)]
+
+    hr = HierarchicalRetriever(retriever, core_memory_fn=lambda: {},
+                               tier3_fn=tier3, escalation_threshold=0.99)
+    docs, info = hr.retrieve("systolic arrays", intent=Intent.SEARCH)
+    assert info["tiers_used"] == [2, 3]
+    assert t3_calls and any(d.source == Source.WEB for d in docs)
+
+
+def test_tier3_failure_is_swallowed(retriever):
+    def tier3(query, intent):
+        raise RuntimeError("boom")
+
+    hr = HierarchicalRetriever(retriever, tier3_fn=tier3,
+                               escalation_threshold=0.99)
+    docs, info = hr.retrieve("systolic arrays")
+    assert "tier3_error" in info and docs  # tier2 results survive
+
+
+# ---------------------------------------------------------------- compressor
+
+def test_compression_skips_small_sets(embed):
+    c = ContextCompressor(embed, max_tokens=100)
+    docs = _mk_docs([0.9] * 3, ["short text"] * 3)
+    assert c.compress("q", docs) == docs
+
+
+def test_compression_selects_relevant_sentences(embed):
+    c = ContextCompressor(embed, max_tokens=400, sentences_per_doc=1,
+                          conservative_mode=False, skip_doc_count=2)
+    text = ("tpus multiply matrices quickly. bananas are yellow fruit. "
+            "the matrix unit is a systolic array.")
+    docs = _mk_docs([0.9] * 3, [text] * 3)
+    out = c.compress("matrix multiplication systolic", docs,
+                     confidence=0.95)
+    assert out and "banana" not in out[0].text
+    assert out[0].metadata["compressed"]
+
+
+def test_low_confidence_concatenates(embed):
+    c = ContextCompressor(embed, max_tokens=10, skip_doc_count=2)
+    docs = _mk_docs([0.9] * 5, ["word " * 30] * 5)
+    out = c.compress("q", docs, confidence=0.3)
+    assert 1 <= len(out) < 5  # truncated, not sentence-compressed
+
+
+# --------------------------------------------------------------- consistency
+
+def test_contradiction_heuristics():
+    assert is_contradiction("the sky is not blue", "the sky is blue")
+    assert is_contradiction("it costs 5 dollars", "it costs 7 dollars")
+    assert not is_contradiction("the sky is blue", "the sky is blue")
+
+
+def test_consistency_checker_flags_numeric_conflict(embed):
+    docs = _mk_docs([0.9, 0.9], [
+        "the tower is 300 meters tall and made of iron",
+        "the tower is 450 meters tall and made of iron"])
+    cc = ConsistencyChecker(embed, sim_threshold=0.5)
+    res = cc.check_consistency(docs)
+    assert not res["consistent"]
+    assert res["confidence_multiplier"] == pytest.approx(0.85)
+
+
+def test_consistency_checker_passes_clean_docs(embed):
+    docs = _mk_docs([0.9, 0.9], ["cats are mammals with fur",
+                                 "tpus are accelerators for matmul"])
+    res = ConsistencyChecker(embed).check_consistency(docs)
+    assert res["consistent"]
+
+
+# ------------------------------------------------------------------ chunking
+
+def test_fixed_chunker_overlap():
+    ch = FixedSizeChunker(chunk_size=100, overlap=20)
+    chunks = ch.chunk("x" * 250)
+    assert len(chunks) == 4  # step 80: 0,80,160,240
+    assert chunks[0]["content"][-20:] == chunks[1]["content"][:20]
+
+
+def test_recursive_chunker_respects_paragraphs():
+    text = "para one. " * 10 + "\n\n" + "para two. " * 10
+    ch = RecursiveChunker(chunk_size=120, overlap=10)
+    chunks = ch.chunk(text)
+    assert all(len(c["content"]) <= 120 for c in chunks)
+    assert len(chunks) >= 2
+
+
+def test_semantic_chunker_splits_on_topic_shift(embed):
+    text = ("tpus multiply matrices. tpus have systolic arrays. "
+            "tpus use high bandwidth memory. "
+            "bananas are yellow. bananas grow on trees. bananas have potassium.")
+    ch = SemanticChunker(embed, threshold=0.3, max_chars=500)
+    chunks = ch.chunk(text)
+    assert len(chunks) >= 2
+    assert "banana" not in chunks[0]["content"]
+
+
+# ------------------------------------------------------------------ wrangler
+
+def test_wrangler_pipeline(embed):
+    from optimized_rag_tpu.engine.wrangler import DataWrangler
+    w = DataWrangler()
+    res = w.process("  Some   text\n\n\n\nwith   mess \x00control ")
+    assert "\x00" not in res["content"]
+    assert "   " not in res["content"]
+    assert 0 <= res["quality_score"] <= 1
+
+
+def test_dedup_exact_fuzzy_semantic(embed):
+    from optimized_rag_tpu.engine.wrangler import Deduplicator
+    texts = ["the quick brown fox jumps over a lazy dog",
+             "The quick brown fox jumps over a lazy dog",   # exact (case)
+             "the quick brown fox jumps over a lazy dot",   # fuzzy
+             "completely different content about tpus"]
+    d = Deduplicator(embed_fn=embed)
+    keep = d.dedup(texts)
+    assert keep == [0, 3]
