@@ -1,0 +1,289 @@
+"""RAGAgent: component wiring + graph compilation + chat().
+
+Equivalent of the reference MemGPTRAGAgent (agent/rag_graph.py:70-530):
+``__init__`` builds every component (cf. _initialize_rag, :108), the graph
+reproduces the 16-node / 3-loop workflow (:319-418), and ``chat`` runs one
+turn returning a ChatResponse (:420-530).
+
+The big architectural difference (SURVEY.md §7): embedding, reranking,
+retrieval, consistency, and compression scoring all run on-TPU through
+engine/ + ops/; the LLM provider is only needed for text generation and
+judgment calls — and a deterministic offline provider is the default.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+from optimized_rag_tpu.agent import nodes
+from optimized_rag_tpu.agent.graph import END, StateGraph
+from optimized_rag_tpu.agent.llm import DeterministicLLM, LLMProvider
+from optimized_rag_tpu.agent.rewriter import (
+    ConversationReferenceDetector, IntentRecognizer, QueryRewriter,
+    QueryRouter)
+from optimized_rag_tpu.agent.state import AgentState, ChatResponse
+from optimized_rag_tpu.agent.tools import (
+    ToolRegistry, create_memory_tools, create_rag_tools)
+from optimized_rag_tpu.agent.verification import (
+    AttributionMapper, CitationValidator, ConfidenceCalibrator,
+    EnsembleVerifier, FactualityScorer, SelfRAGEvaluator, TemporalValidator)
+from optimized_rag_tpu.agent.web import WebSearchTool
+from optimized_rag_tpu.config import Settings
+from optimized_rag_tpu.engine.compressor import ContextCompressor
+from optimized_rag_tpu.engine.consistency import ConsistencyChecker
+from optimized_rag_tpu.engine.hierarchical import HierarchicalRetriever
+from optimized_rag_tpu.engine.rerank import SelectiveReranker
+from optimized_rag_tpu.engine.retriever import HybridRetriever
+from optimized_rag_tpu.engine.types import RetrievedDoc, Source
+from optimized_rag_tpu.index.dense import DenseIndex
+from optimized_rag_tpu.index.lexical import LexicalIndex
+from optimized_rag_tpu.store.cost import CostTracker
+from optimized_rag_tpu.store.db import MetadataStore
+from optimized_rag_tpu.store.kg import (
+    KnowledgeGraphExtractor, KnowledgeGraphRetriever)
+from optimized_rag_tpu.store.memory import MemoryManager
+from optimized_rag_tpu.engine.adaptive import DynamicWeightManager
+
+
+class RAGAgent:
+    def __init__(self, settings: Optional[Settings] = None,
+                 llm: Optional[LLMProvider] = None,
+                 embed_service=None, cross_encoder=None,
+                 store: Optional[MetadataStore] = None,
+                 web: Optional[WebSearchTool] = None,
+                 ingestor=None):
+        self.settings = settings or Settings()
+        self.llm = llm or DeterministicLLM()
+        s = self.settings
+
+        # Models (on-device; built lazily if not injected).
+        if embed_service is None:
+            from optimized_rag_tpu.models.encoder import (
+                EmbeddingService, TransformerConfig)
+            embed_service = EmbeddingService(
+                TransformerConfig(
+                    vocab_size=s.encoder.vocab_size,
+                    hidden_dim=s.encoder.hidden_dim,
+                    num_layers=s.encoder.num_layers,
+                    num_heads=s.encoder.num_heads,
+                    mlp_dim=s.encoder.mlp_dim,
+                    out_dim=s.encoder.dim),
+                max_len=128, cache_size=s.encoder.cache_size)
+        self.embedder = embed_service
+        self.embed_fn = embed_service.encode
+        self.cross_encoder = cross_encoder
+
+        # Storage + indexes.
+        self.store = store or MetadataStore(":memory:")
+        dim = getattr(embed_service, "dim", s.encoder.dim)
+        self.dense = DenseIndex(dim=dim, capacity_block=65536, tile=1024)
+        self.lexical = LexicalIndex()
+        self.cost_tracker = CostTracker() \
+            if s.flags.enable_cost_tracking else None
+
+        # Memory.
+        self.memory = MemoryManager(
+            self.store, self.embed_fn, agent_id=s.agent_id, embed_dim=dim,
+            persona=s.memory.persona,
+            core_limit_chars=s.memory.core_memory_limit_chars)
+
+        # Query understanding.
+        detector = ConversationReferenceDetector(self.embed_fn, self.llm)
+        self.intent_recognizer = IntentRecognizer(self.llm, detector)
+        self.query_rewriter = QueryRewriter(self.llm)
+        self.router = QueryRouter()
+
+        # KG.
+        self.kg_extractor = KnowledgeGraphExtractor(
+            self.store, s.agent_id,
+            llm_fn=functools.partial(self.llm.complete,
+                                     task="extract_triples"))
+        self.kg_retriever = KnowledgeGraphRetriever(self.store, s.agent_id) \
+            if s.flags.enable_kg else None
+
+        # Retrieval engine.
+        self.retriever = HybridRetriever(
+            self.dense, self.lexical, self.embed_fn,
+            get_text=self.store.chunk_text,
+            get_created_at=self.store.chunk_created_at,
+            half_life_days=s.retrieval.recency_half_life_days,
+            candidate_k=s.retrieval.candidate_k)
+        self.weight_manager = DynamicWeightManager(
+            agent_id=s.agent_id, learning_rate=s.adaptive.learning_rate,
+            window_size=s.adaptive.window_size,
+            persist_every=s.adaptive.persist_every, db=self.store) \
+            if s.flags.enable_dynamic_weights else None
+        self.web = web if web is not None else WebSearchTool(
+            cost_tracker=self.cost_tracker)
+        self.hierarchical = HierarchicalRetriever(
+            self.retriever, core_memory_fn=self.memory.get_core_memory,
+            tier3_fn=self._tier3, escalation_threshold=s.tiers.
+            escalation_threshold,
+            tier1_min_score=s.tiers.tier1_keyword_min_score) \
+            if s.flags.enable_hierarchical_retrieval else None
+
+        # Rerank / compress / consistency.
+        self.reranker = SelectiveReranker(
+            cross_encoder=self.cross_encoder, embed_fn=self.embed_fn,
+            blend_original=s.cross_encoder.blend_original)
+        self.compressor = ContextCompressor(
+            self.embed_fn, max_tokens=s.context.compression_target_tokens,
+            semantic_weight=s.context.semantic_weight,
+            lexical_weight=s.context.lexical_weight)
+        self.consistency = ConsistencyChecker(
+            self.embed_fn,
+            sim_threshold=s.verification.consistency_sim_threshold,
+            contradiction_penalty=s.verification.contradiction_penalty)
+
+        # Verification stack.
+        self.ensemble = EnsembleVerifier(
+            self.llm, self.embed_fn,
+            weights=s.verification.ensemble_weights,
+            embedding_threshold=s.verification.embedding_verify_threshold,
+            llm_override_conf=s.verification.ensemble_llm_override_conf) \
+            if s.flags.enable_ensemble_verification else None
+        self.selfrag = SelfRAGEvaluator(
+            self.llm, self.embed_fn, ensemble=self.ensemble,
+            max_claims=s.verification.max_claims,
+            hallucination_support=s.verification.hallucination_support_ratio,
+            uncited_ratio_limit=s.verification.uncited_sentence_ratio)
+        self.citation_validator = CitationValidator()
+        self.factuality = FactualityScorer(
+            weights=s.verification.factuality_weights,
+            zero_citation_penalty=s.verification.zero_citation_penalty,
+            refusal_threshold=s.verification.refusal_threshold)
+        self.attribution = AttributionMapper()
+        self.temporal_validator = TemporalValidator()
+        self.calibrator = ConfidenceCalibrator()
+
+        # Ingestion + tools.
+        if ingestor is None:
+            from optimized_rag_tpu.services.ingest import DocumentIngestor
+            ingestor = DocumentIngestor(self)
+        self.ingestor = ingestor
+        self.tools = ToolRegistry()
+        for t in create_memory_tools(self.memory):
+            self.tools.register(t)
+        for t in create_rag_tools(self.ingestor, self.retriever,
+                                  self.web if self.web.available else None):
+            self.tools.register(t)
+
+        self.graph = self._build_graph()
+
+    # ----------------------------------------------------------------- tier3
+
+    def _tier3(self, query: str, intent):
+        """Agentic tier-3: KG traversal, then web (reference
+        hierarchical_retriever.py:501-660)."""
+        out = []
+        if self.kg_retriever is not None:
+            ctx = self.kg_retriever.query_knowledge_graph(query)
+            if ctx:
+                out.append(RetrievedDoc(doc_id=-3000, score=0.6, text=ctx,
+                                        source=Source.KNOWLEDGE_GRAPH))
+        if self.web is not None and self.web.available:
+            out.extend(self.web.search(query))
+        return out
+
+    # ----------------------------------------------------------------- graph
+
+    def _build_graph(self):
+        a = self
+        g = StateGraph(max_steps=64)
+
+        def n(fn):
+            return functools.partial(fn, agent=a)
+
+        g.add_node("receive_input", n(nodes.receive_input))
+        g.add_node("recognize_intent", n(nodes.recognize_intent))
+        g.add_node("rewrite_query", n(nodes.rewrite_query))
+        g.add_node("retrieve_memory", n(nodes.retrieve_memory))
+        g.add_node("route_query", n(nodes.route_query))
+        g.add_node("check_context", n(nodes.check_context))
+        g.add_node("retrieve_rag", n(nodes.retrieve_rag))
+        g.add_node("rerank_and_eval", n(nodes.rerank_and_eval))
+        g.add_node("chain_of_thought", n(nodes.chain_of_thought))
+        g.add_node("synthesize_multi_doc", n(nodes.synthesize_multi_doc))
+        g.add_node("generate_response", n(nodes.generate_response))
+        g.add_node("verify_response", n(nodes.verify_response))
+        g.add_node("query_refinement", n(nodes.query_refinement))
+        g.add_node("web_search_fallback", n(nodes.web_search_fallback))
+        g.add_node("process_tool_calls", n(nodes.process_tool_calls))
+        g.add_node("update_memory", n(nodes.update_memory))
+
+        g.set_entry("receive_input")
+        g.add_edge("receive_input", "recognize_intent")
+        g.add_edge("recognize_intent", "rewrite_query")
+        g.add_edge("rewrite_query", "retrieve_memory")
+        g.add_edge("retrieve_memory", "route_query")
+        g.add_edge("route_query", "check_context")
+        g.add_edge("check_context", "retrieve_rag")
+        g.add_edge("retrieve_rag", "rerank_and_eval")
+        g.add_conditional(
+            "rerank_and_eval", lambda st: nodes.should_use_cot(st, a),
+            {"cot": "chain_of_thought", "skip": "synthesize_multi_doc"})
+        g.add_edge("chain_of_thought", "synthesize_multi_doc")
+        g.add_edge("synthesize_multi_doc", "generate_response")
+        g.add_conditional(
+            "generate_response", lambda st: nodes.should_regenerate(st, a),
+            {"regenerate": "generate_response", "accept": "verify_response"})
+        g.add_conditional(
+            "verify_response", lambda st: nodes.decide_next_action(st, a),
+            {"tools": "process_tool_calls",
+             "web_search": "web_search_fallback",
+             "refine": "query_refinement",
+             "continue": "update_memory"})
+        g.add_edge("process_tool_calls", "generate_response")
+        g.add_edge("web_search_fallback", "generate_response")
+        g.add_edge("query_refinement", "retrieve_rag")
+        g.add_edge("update_memory", END)
+        return g.compile()
+
+    # ------------------------------------------------------------------ chat
+
+    def chat(self, user_input: str, trace: Optional[list] = None
+             ) -> ChatResponse:
+        t0 = time.time()
+        state = AgentState(user_input=user_input,
+                           core_memory=self.memory.get_core_memory())
+        self.graph.invoke(state, trace=trace)
+        confidence = self.calibrator.calibrate(
+            1.0 - state.uncertainty, state.support_ratio,
+            had_contradictions=bool(
+                state.consistency.get("contradictions")))
+        # Feed DW-GRPO (reference adaptive_weights.py:433).
+        if self.weight_manager is not None and state.retrieval_weights:
+            quality = state.factuality_score if not state.refused else 0.0
+            self.weight_manager.record_feedback(
+                state.retrieval_weights, quality,
+                intent=getattr(state.query_intent, "value", None),
+                complexity=self.weight_manager.feature_extractor.
+                extract_complexity(user_input,
+                                   getattr(state.query_intent, "value",
+                                           None)))
+        resp = ChatResponse(
+            answer=state.response,
+            citations=state.citations,
+            sources=[{"doc_id": d.doc_id, "source": d.source.value,
+                      "score": d.score, "tier": d.tier}
+                     for d in state.rag_context],
+            confidence=confidence,
+            factuality_score=state.factuality_score,
+            factuality_level=state.factuality_level,
+            support_ratio=state.support_ratio,
+            faithfulness=state.faithfulness,
+            refused=state.refused,
+            hitl_flagged=state.hitl_flagged,
+            intent=getattr(state.query_intent, "value", None),
+            tiers_used=state.tiers_used,
+            uncertainty=state.uncertainty,
+            warnings=state.warnings,
+            metrics={"latency_s": time.time() - t0,
+                     "iteration": state.iteration,
+                     "regenerations": state.regeneration_attempts,
+                     "refinements": state.refinement_attempts,
+                     "reretrieves": state.reretrieve_attempts,
+                     "web_search": state.web_search_attempted})
+        return resp

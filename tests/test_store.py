@@ -1,0 +1,171 @@
+"""Store layer: SQLite metadata, MemGPT memory, KG, cost tracking."""
+
+import numpy as np
+import pytest
+
+from optimized_rag_tpu.store.cost import CostTracker
+from optimized_rag_tpu.store.db import MetadataStore
+from optimized_rag_tpu.store.kg import (
+    KnowledgeGraphExtractor, KnowledgeGraphRetriever, parse_triple_lines)
+from optimized_rag_tpu.store.memory import MemoryManager
+
+from fakes import FakeEmbedder
+
+
+@pytest.fixture
+def store():
+    return MetadataStore(":memory:")
+
+
+@pytest.fixture
+def memory(store):
+    return MemoryManager(store, FakeEmbedder(dim=32), embed_dim=32,
+                         persona="I am a test agent.")
+
+
+# ------------------------------------------------------------------ metadata
+
+def test_documents_and_chunks(store):
+    doc = store.insert_document("a1", filename="f.txt", title="T")
+    store.insert_chunks("a1", doc, ids=[0, 1], texts=["chunk a", "chunk b"])
+    assert store.chunk_text(0) == "chunk a"
+    docs = store.list_documents("a1")
+    assert docs[0]["num_chunks"] == 2
+    assert store.get_chunk(1)["document_id"] == doc
+
+
+def test_agent_isolation(store):
+    store.set_core_memory("a1", "facts", "alpha")
+    store.set_core_memory("a2", "facts", "beta")
+    assert store.get_core_memory("a1")["facts"] == "alpha"
+    assert store.get_core_memory("a2")["facts"] == "beta"
+
+
+def test_dw_grpo_roundtrip(store):
+    w = {"semantic": 0.6, "keyword": 0.3, "temporal": 0.1}
+    store.save_learned_weights("a1", "search", "simple", w)
+    assert store.load_learned_weights("a1", "search", "simple") == w
+    assert store.load_learned_weights("a1", "search", "complex") is None
+    store.save_performance(dict(agent_id="a1", intent="search",
+                                complexity="simple", weights=w, quality=0.9))
+    store.update_daily_metric("a1", "tier1_hits", 3)
+    store.update_daily_metric("a1", "tier1_hits", 2)
+    assert store.get_daily_metrics("a1")["tier1_hits"] == 5
+
+
+def test_persistent_store_roundtrip(tmp_path):
+    path = str(tmp_path / "meta.db")
+    s1 = MetadataStore(path)
+    s1.set_core_memory("a1", "persona", "persistent persona")
+    s1.close()
+    s2 = MetadataStore(path)
+    assert s2.get_core_memory("a1")["persona"] == "persistent persona"
+
+
+# -------------------------------------------------------------------- memory
+
+def test_core_memory_lifecycle(memory):
+    core = memory.get_core_memory()
+    assert core["persona"] == "I am a test agent."
+    memory.core_memory_append("human", "name: alice")
+    assert "alice" in memory.get_core_memory()["human"]
+    memory.core_memory_replace("human", "alice", "bob")
+    assert "bob" in memory.get_core_memory()["human"]
+    msg = memory.core_memory_replace("human", "nonexistent", "x")
+    assert msg.startswith("Error")
+    memory.add_core_fact("the sky is blue")
+    assert "- the sky is blue" in memory.get_core_memory()["facts"]
+
+
+def test_core_memory_limit(store):
+    m = MemoryManager(store, FakeEmbedder(dim=32), embed_dim=32,
+                      core_limit_chars=50)
+    msg = m.core_memory_append("facts", "x" * 100)
+    assert msg.startswith("Error")
+
+
+def test_archival_insert_and_semantic_search(memory):
+    memory.archival_memory_insert("the user loves tensor processing units")
+    memory.archival_memory_insert("the user has a pet iguana named rex")
+    memory.bulk_insert_archival(["groceries: milk eggs bread"])
+    hits = memory.archival_memory_search("what pet does the user have", 2)
+    assert hits and "iguana" in hits[0].text
+
+
+def test_recall_memory(memory):
+    memory.save_message("user", "hello there")
+    memory.save_message("assistant", "hi! how can I help?")
+    memory.save_message("user", "tell me about tpus")
+    recent = memory.get_recent_messages(2)
+    assert [m["role"] for m in recent] == ["assistant", "user"]
+    found = memory.conversation_search("tpus")
+    assert len(found) == 1 and found[0]["role"] == "user"
+
+
+def test_format_core_memory_blocks(memory):
+    s = memory.format_core_memory()
+    assert "<persona>" in s and "<human>" in s and "<facts>" in s
+
+
+# ------------------------------------------------------------------------ KG
+
+def test_parse_triple_lines():
+    raw = "a|rel|b\nmalformed line\nc | has | d\n||\n"
+    assert parse_triple_lines(raw) == [("a", "rel", "b"), ("c", "has", "d")]
+
+
+def test_kg_extract_with_llm_and_fallback(store):
+    ext = KnowledgeGraphExtractor(store, llm_fn=lambda p: "TPU|is|accelerator")
+    assert ext.extract_triples("whatever") == [("TPU", "is", "accelerator")]
+    # Heuristic fallback when LLM errors:
+    ext2 = KnowledgeGraphExtractor(
+        store, llm_fn=lambda p: (_ for _ in ()).throw(RuntimeError()))
+    triples = ext2.extract_triples("The TPU is a matrix accelerator.")
+    assert any("TPU" in t[0] for t in triples)
+
+
+def test_kg_multi_hop_traversal(store):
+    ext = KnowledgeGraphExtractor(store)
+    ext.store_triples([("tpu", "made_by", "google"),
+                       ("google", "located_in", "california"),
+                       ("california", "part_of", "usa"),
+                       ("banana", "is", "fruit")])
+    ret = KnowledgeGraphRetriever(store, max_hops=2)
+    triples = ret.find_related_entities("tpu", max_hops=2)
+    objs = {t[2] for t in triples}
+    assert "google" in objs and "california" in objs
+    assert ("banana", "is", "fruit") not in triples
+    # 1 hop does not reach california
+    one = ret.find_related_entities("tpu", max_hops=1)
+    assert ("google", "located_in", "california") not in one
+
+
+def test_kg_query_context(store):
+    ext = KnowledgeGraphExtractor(store)
+    ext.store_triples([("Paris", "capital_of", "France")])
+    ret = KnowledgeGraphRetriever(store)
+    ctx = ret.query_knowledge_graph("What is the capital of Paris region?")
+    assert "Paris capital_of France" in ctx
+
+
+# ---------------------------------------------------------------------- cost
+
+def test_cost_tracking_and_savings():
+    t = CostTracker()
+    t.track_llm(8000, 500, "gpt-4o-mini")
+    t.track_embedding(10000, "on-device", device_seconds=0.01)
+    t.track_search(2)
+    s = t.get_summary()
+    assert s["llm_cost"] == pytest.approx(8000 * 0.15 / 1e6 + 500 * 0.6 / 1e6)
+    assert s["embedding_cost"] == 0.0
+    assert s["api_cost_avoided_usd"] > 0
+    assert s["search_calls"] == 2
+
+
+def test_cost_persistence(tmp_path):
+    path = str(tmp_path / "cost.json")
+    t = CostTracker(path)
+    t.track_llm(1000, 100)
+    t.save()
+    t2 = CostTracker(path)
+    assert t2.totals["llm_input_tokens"] == 1000
