@@ -94,9 +94,15 @@ class DeterministicLLM:
             docs = self._context_docs(prompt)
             return " ".join(docs[:3]) if docs else "No context available."
         if task == "extract_facts":
+            # Only scan the conversation payload, not the instruction text.
+            m = re.search(r"User:\s*(.+?)\nAssistant:\s*(.+?)(?:\nFacts:|$)",
+                          prompt, re.DOTALL)
+            convo = " ".join(m.groups()) if m else ""
+            convo = " ".join(s for s in re.split(r"(?<=[.!?])\s+", convo)
+                             if not s.rstrip().endswith("?"))
             facts = re.findall(
-                r"\b([A-Z][\w ]{2,40}\s+(?:is|are|likes|has)\s+[\w ]{2,40})",
-                prompt)
+                r"\b((?:my|i)\s+[\w ]{2,40}\s+(?:is|are|likes?|prefer)\s+"
+                r"[\w ]{2,40})", convo, re.IGNORECASE)
             return "\n".join(f"- {f.strip()}" for f in facts[:3]) or "NONE"
         if task == "extract_triples":
             facts = re.findall(
