@@ -1,0 +1,165 @@
+// Native lexical analyzer for optimized_rag_tpu.
+//
+// The ingestion-side O(corpus) host work — lowercasing, word splitting,
+// stopword filtering, FNV-1a vocabulary hashing, and per-document term
+// counting — is the one hot loop that stays on the host CPU (everything
+// numeric runs on TPU). The reference does this in Python per query
+// (rag/retrieval.py:324-347 rebuilds BM25 per call); here it runs once at
+// index time, and this C++ path makes large-corpus builds fast.
+//
+// Bit-compatibility contract (tested against the Python implementation in
+// index/lexical.py / models/tokenizer.py):
+//   token boundaries: maximal [a-z0-9] runs after ASCII lowercasing
+//   stopwords: identical list
+//   term id: FNV-1a(token bytes) % vocab_size   (lexical analyzer)
+//            NUM_SPECIAL + FNV-1a % (vocab - NUM_SPECIAL)  (model tokenizer)
+//
+// Build: make -C native        (produces liborag_native.so)
+// Loaded via ctypes in optimized_rag_tpu/native.py with Python fallback.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kFnvOffset = 2166136261u;
+constexpr uint32_t kFnvPrime = 16777619u;
+
+inline uint32_t fnv1a(const char* data, size_t len) {
+  uint32_t h = kFnvOffset;
+  for (size_t i = 0; i < len; ++i) {
+    h ^= static_cast<unsigned char>(data[i]);
+    h *= kFnvPrime;
+  }
+  return h;
+}
+
+const std::unordered_set<std::string>& Stopwords() {
+  // Must match _STOPWORDS in optimized_rag_tpu/index/lexical.py.
+  static const std::unordered_set<std::string>* kSet =
+      new std::unordered_set<std::string>{
+          "a",     "an",   "and",  "are",  "as",   "at",   "be",
+          "by",    "for",  "from", "has",  "he",   "in",   "is",
+          "it",    "its",  "of",   "on",   "or",   "that", "the",
+          "to",    "was",  "were", "will", "with", "this", "these",
+          "those", "i",    "you",  "we",   "they", "what", "which",
+          "who"};
+  return *kSet;
+}
+
+inline bool is_word_byte(unsigned char c) {
+  return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9');
+}
+
+template <typename Fn>
+void for_each_token(const char* text, int64_t len, Fn&& fn) {
+  std::string tok;
+  tok.reserve(32);
+  for (int64_t i = 0; i <= len; ++i) {
+    unsigned char c = i < len ? static_cast<unsigned char>(text[i]) : 0;
+    if (c >= 'A' && c <= 'Z') c += 32;  // ASCII lowercase
+    if (i < len && is_word_byte(c)) {
+      tok.push_back(static_cast<char>(c));
+    } else if (!tok.empty()) {
+      if (!Stopwords().count(tok)) fn(tok);
+      tok.clear();
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize into hashed term ids (stopwords removed).
+// Returns number of ids written (capped at max_out).
+int64_t orag_tokenize(const char* text, int64_t len, int64_t vocab_size,
+                      int32_t* out_ids, int64_t max_out) {
+  int64_t n = 0;
+  for_each_token(text, len, [&](const std::string& tok) {
+    if (n < max_out) {
+      out_ids[n++] =
+          static_cast<int32_t>(fnv1a(tok.data(), tok.size()) % vocab_size);
+    }
+  });
+  return n;
+}
+
+// Per-document term counting: unique (term_id, tf) pairs + doc length.
+// Returns number of unique terms written (capped at max_terms).
+// *doc_len receives the total (post-stopword) token count.
+int64_t orag_term_counts(const char* text, int64_t len, int64_t vocab_size,
+                         int32_t* out_terms, int32_t* out_tf,
+                         int64_t max_terms, int64_t* doc_len) {
+  std::unordered_map<int32_t, int32_t> counts;
+  int64_t total = 0;
+  for_each_token(text, len, [&](const std::string& tok) {
+    ++total;
+    ++counts[static_cast<int32_t>(fnv1a(tok.data(), tok.size()) %
+                                  vocab_size)];
+  });
+  *doc_len = total;
+  int64_t n = 0;
+  for (const auto& kv : counts) {
+    if (n >= max_terms) break;
+    out_terms[n] = kv.first;
+    out_tf[n] = kv.second;
+    ++n;
+  }
+  return n;
+}
+
+// Model-tokenizer hashing (models/tokenizer.py HashTokenizer._tid):
+// id = NUM_SPECIAL + fnv1a(token) % (vocab_size - NUM_SPECIAL).
+// Tokens here are [a-z0-9]+ runs OR single non-alnum printable ASCII chars
+// (the tokenizer's `[^\sa-z0-9]` branch), with trigram sub-tokens for
+// words longer than split_len.
+int64_t orag_model_tokenize(const char* text, int64_t len,
+                            int64_t vocab_size, int64_t num_special,
+                            int64_t split_len, int32_t* out_ids,
+                            int64_t max_out) {
+  const int64_t space = vocab_size - num_special;
+  int64_t n = 0;
+  auto emit = [&](const char* data, size_t l) {
+    if (n < max_out) {
+      out_ids[n++] = static_cast<int32_t>(num_special +
+                                          fnv1a(data, l) % space);
+    }
+  };
+  std::string tok;
+  tok.reserve(32);
+  auto flush_word = [&]() {
+    if (tok.empty()) return;
+    emit(tok.data(), tok.size());
+    if (static_cast<int64_t>(tok.size()) > split_len) {
+      // Python: range(0, len(w) - 2, 3) -> i < len - 2 stepping 3.
+      for (size_t i = 0; i + 2 < tok.size(); i += 3) {
+        std::string tri = "##" + tok.substr(i, 3);
+        emit(tri.data(), tri.size());
+      }
+    }
+    tok.clear();
+  };
+  for (int64_t i = 0; i < len; ++i) {
+    unsigned char c = static_cast<unsigned char>(text[i]);
+    if (c >= 'A' && c <= 'Z') c += 32;
+    if (is_word_byte(c)) {
+      tok.push_back(static_cast<char>(c));
+    } else {
+      flush_word();
+      // Single punctuation tokens: printable, non-space ASCII.
+      if (c > ' ' && c < 127) {
+        char single = static_cast<char>(c);
+        emit(&single, 1);
+      }
+    }
+  }
+  flush_word();
+  return n;
+}
+
+}  // extern "C"

@@ -48,6 +48,7 @@ class LexicalIndex:
         self._postings: dict[int, dict[int, int]] = defaultdict(dict)
         self._doc_len: list[float] = []
         self._device = None   # built arrays, invalidated on add
+        self._row_of: dict[int, int] = {}  # term id -> champion row
 
     # ------------------------------------------------------------ building
 
@@ -63,32 +64,63 @@ class LexicalIndex:
         return len(self._doc_len)
 
     def add(self, texts: list[str]) -> np.ndarray:
-        """Add documents; ids align with DenseIndex insertion order."""
+        """Add documents; ids align with DenseIndex insertion order.
+
+        Uses the C++ analyzer (native/analyzer.cpp via
+        optimized_rag_tpu/native.py) for ASCII docs when built; the Python
+        path is the authoritative fallback and both are parity-tested.
+        """
+        from optimized_rag_tpu import native
         start = self.size
         for text in texts:
-            toks = lexical_tokens(text)
             doc_id = len(self._doc_len)
-            self._doc_len.append(float(len(toks)))
-            for term, tf in Counter(toks).items():
-                self._postings[self._term_id(term)][doc_id] = tf
+            counts = native.term_counts(text, self.vocab_size)
+            if counts is not None:
+                terms, tfs, doc_len = counts
+                self._doc_len.append(float(doc_len))
+                for term, tf in zip(terms, tfs):
+                    self._postings[int(term)][doc_id] = int(tf)
+            else:
+                toks = lexical_tokens(text)
+                self._doc_len.append(float(len(toks)))
+                for term, tf in Counter(toks).items():
+                    self._postings[self._term_id(term)][doc_id] = tf
         self._device = None
         return np.arange(start, self.size, dtype=np.int64)
 
     def build(self, padded_size: int | None = None) -> None:
-        """Materialize device arrays. Called lazily by search()."""
+        """Materialize device arrays. Called lazily by search().
+
+        Device arrays are compacted to the OBSERVED vocabulary: champion
+        rows exist only for terms that occur in the corpus (plus one empty
+        sentinel row), and query term ids are remapped host-side in
+        ``encode_query``. Sizing to the full hash space would ship
+        vocab_size*cap cells to the device regardless of corpus size.
+        Row count and cap are padded to powers of two to bound the number
+        of distinct compiled shapes as the corpus grows.
+        """
         n = max(self.size, 1)
         pad_n = padded_size or n
-        champ_docs = np.zeros((self.vocab_size, self.cap), np.int32)
-        champ_tf = np.zeros((self.vocab_size, self.cap), np.float32)
-        champ_valid = np.zeros((self.vocab_size, self.cap), bool)
-        df = np.zeros(self.vocab_size, np.int64)
-        for t, postings in self._postings.items():
-            df[t] = len(postings)
+        terms = sorted(self._postings)
+        cap_used = max((min(len(p), self.cap)
+                        for p in self._postings.values()), default=1)
+        cap_used = 1 << (cap_used - 1).bit_length()      # pow2 pad
+        rows = len(terms) + 1                            # +1 empty sentinel
+        rows_pad = 1 << (rows - 1).bit_length()
+        champ_docs = np.zeros((rows_pad, cap_used), np.int32)
+        champ_tf = np.zeros((rows_pad, cap_used), np.float32)
+        champ_valid = np.zeros((rows_pad, cap_used), bool)
+        df = np.zeros(rows_pad, np.int64)
+        self._row_of = {}
+        for row, t in enumerate(terms):
+            postings = self._postings[t]
+            self._row_of[t] = row
+            df[row] = len(postings)
             items = sorted(postings.items(), key=lambda kv: -kv[1])[:self.cap]
             m = len(items)
-            champ_docs[t, :m] = [d for d, _ in items]
-            champ_tf[t, :m] = [tf for _, tf in items]
-            champ_valid[t, :m] = True
+            champ_docs[row, :m] = [d for d, _ in items]
+            champ_tf[row, :m] = [tf for _, tf in items]
+            champ_valid[row, :m] = True
         doc_len = np.zeros(pad_n, np.float32)
         doc_len[:self.size] = self._doc_len
         avg = float(np.mean(self._doc_len)) if self._doc_len else 1.0
@@ -104,11 +136,17 @@ class LexicalIndex:
     # ------------------------------------------------------------- queries
 
     def encode_query(self, text: str, max_terms: int = 32):
-        terms = [self._term_id(t) for t in lexical_tokens(text)][:max_terms]
+        """Query terms -> compacted champion-row ids (unknown terms drop)."""
+        if self._device is None:
+            self.build()
+        rows = [self._row_of[t]
+                for t in (self._term_id(tok)
+                          for tok in lexical_tokens(text))
+                if t in self._row_of][:max_terms]
         q = np.zeros(max_terms, np.int32)
         valid = np.zeros(max_terms, bool)
-        q[:len(terms)] = terms
-        valid[:len(terms)] = True
+        q[:len(rows)] = rows
+        valid[:len(rows)] = True
         return jnp.asarray(q), jnp.asarray(valid)
 
     def search(self, text: str, k: int, max_terms: int = 32):

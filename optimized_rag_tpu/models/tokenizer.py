@@ -45,6 +45,11 @@ class HashTokenizer:
         return NUM_SPECIAL + _fnv1a(token.encode("utf-8")) % self._space
 
     def tokenize(self, text: str) -> list[int]:
+        from optimized_rag_tpu import native
+        fast = native.model_tokenize(text, self.vocab_size, NUM_SPECIAL,
+                                     _TRIGRAM_SPLIT_LEN)
+        if fast is not None:
+            return fast
         ids: list[int] = []
         for w in _WORD_RE.findall(text.lower()):
             ids.append(self._tid(w))

@@ -33,6 +33,9 @@ def minmax_normalize(scores: jax.Array, valid: jax.Array | None = None,
     lo = jnp.min(jnp.where(valid, s, jnp.inf), axis=-1, keepdims=True)
     hi = jnp.max(jnp.where(valid, s, -jnp.inf), axis=-1, keepdims=True)
     out = (s - lo) / jnp.maximum(hi - lo, eps)
+    # Degenerate range (single candidate / all-equal scores): neutral 0.5
+    # rather than collapsing every score to 0.
+    out = jnp.where(hi - lo < eps, 0.5, out)
     return jnp.where(valid, out, 0.0)
 
 

@@ -1,0 +1,96 @@
+"""Eval metrics vs hand-computed oracles; token/retry/export utils."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from optimized_rag_tpu.eval.metrics import (
+    RAGEvaluator, mean_reciprocal_rank, ndcg_at_k, precision_at_k,
+    recall_at_k)
+from optimized_rag_tpu.utils.metrics_export import MetricsExporter
+from optimized_rag_tpu.utils.retry import retry_with_backoff
+from optimized_rag_tpu.utils.tokens import (
+    calculate_tokens, check_context_overflow, token_budget,
+    truncate_conversation)
+
+
+def test_precision_recall_at_k():
+    retrieved = [[1, 2, 3, 4], [5, 6, 7, 8]]
+    relevant = [{1, 3, 9}, {9, 10}]
+    p = precision_at_k(retrieved, relevant, 4)
+    np.testing.assert_allclose(p, [0.5, 0.0])
+    r = recall_at_k(retrieved, relevant, 4)
+    np.testing.assert_allclose(r, [2 / 3, 0.0])
+
+
+def test_mrr():
+    retrieved = [[9, 1, 2], [3, 4, 5], [7, 8, 9]]
+    relevant = [{1}, {3}, {99}]
+    assert mean_reciprocal_rank(retrieved, relevant) == pytest.approx(
+        (0.5 + 1.0 + 0.0) / 3)
+
+
+def test_ndcg_perfect_and_reversed():
+    grades = [{1: 3.0, 2: 2.0, 3: 1.0}]
+    perfect = ndcg_at_k([[1, 2, 3]], grades, 3)
+    reversed_ = ndcg_at_k([[3, 2, 1]], grades, 3)
+    assert perfect[0] == pytest.approx(1.0)
+    assert reversed_[0] < 1.0
+
+
+def test_evaluator_bundle():
+    ev = RAGEvaluator()
+    out = ev.evaluate_retrieval([[1, 2], [3, 4]], [{1}, {9}], k=2)
+    assert out["recall@2"] == pytest.approx(0.5)
+    assert out["mrr"] == pytest.approx(0.5)
+
+
+def test_token_budget_and_overflow():
+    b = token_budget(1000)
+    assert b["rag_context"] == 400
+    res = check_context_overflow({"rag_context": "x" * 2000,
+                                  "system": "hi"}, 1000)
+    assert not res["fits"] and "rag_context" in res["overflow"]
+    ok = check_context_overflow({"system": "hi"}, 1000)
+    assert ok["fits"]
+
+
+def test_truncate_conversation_keeps_head():
+    msgs = [{"role": "system", "content": "sys"}] + [
+        {"role": "user", "content": "word " * 50} for _ in range(10)]
+    out = truncate_conversation(msgs, max_tokens=200, keep_first=1)
+    assert out[0]["role"] == "system"
+    assert len(out) < len(msgs)
+
+
+def test_retry_with_backoff_retries_then_succeeds():
+    attempts = []
+
+    @retry_with_backoff(max_attempts=3, base_delay=0,
+                        sleep=lambda s: None)
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise ValueError("boom")
+        return "ok"
+
+    assert flaky() == "ok" and len(attempts) == 3
+
+    @retry_with_backoff(max_attempts=2, base_delay=0, sleep=lambda s: None)
+    def always_fails():
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        always_fails()
+
+
+def test_metrics_exporter_jsonl(tmp_path):
+    ex = MetricsExporter(str(tmp_path))
+    path = ex.export({"metric": "qps", "value": 7702})
+    ex.export({"metric": "recall", "value": 1.0})
+    with open(path) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 2 and lines[0]["metric"] == "qps"
+    assert "ts" in lines[0]
