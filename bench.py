@@ -32,7 +32,7 @@ def main() -> None:
     from optimized_rag_tpu.ops.topk import pallas_topk, chunked_topk
     from optimized_rag_tpu.ops.similarity import normalize
 
-    N, D, B, K = 1_000_000, 384, 32, 10
+    N, D, B, K = 1_000_000, 384, 512, 10
     N_pad = ((N + 2047) // 2048) * 2048
     backend = jax.default_backend()
     log(f"backend={backend} corpus={N}x{D} batch={B} k={K}")
@@ -65,24 +65,35 @@ def main() -> None:
         return pallas_topk(qq, corpus, K, size=N, tile=2048)
 
     s, i = tpu_topk(q)
-    jax.block_until_ready((s, i))
+    i_np = np.asarray(i)  # host transfer forces real completion
 
-    # recall@10 parity check vs the CPU oracle
-    i_np = np.asarray(i)
-    recall = np.mean([len(set(i_np[r]) & set(base_idx[r])) / K
-                      for r in range(B)])
-    log(f"recall@{K} vs exact oracle: {recall:.4f}")
+    # recall@10 parity check vs the CPU oracle. A retrieved doc counts if
+    # it is in the oracle set OR its true score ties the oracle's k-th
+    # score within 1e-5 (float near-ties at the cutoff are not errors).
+    cutoff = base_sorted[np.arange(B), order[:, -1]] - 1e-5
+    true_scores = np.take_along_axis(scores, i_np, axis=1)
+    hit = np.zeros((B, K), bool)
+    for r in range(B):
+        hit[r] = np.isin(i_np[r], base_idx[r]) | \
+            (true_scores[r] >= cutoff[r])
+    recall = float(hit.mean())
+    log(f"recall@{K} vs exact oracle (1e-5 tie tolerance): {recall:.4f}")
 
-    iters = 30
+    # Timing protocol: per-iteration host materialization. NOTE: in this
+    # environment the device is reached through a network tunnel and
+    # block_until_ready does NOT synchronize with remote execution —
+    # np.asarray is the only honest barrier; numbers therefore INCLUDE
+    # host<->device transfer, which is the end-to-end serving quantity.
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         s, i = tpu_topk(q)
-    jax.block_until_ready((s, i))
+        _ = np.asarray(i)
     dev_s = (time.perf_counter() - t0) / iters
     dev_qps = B / dev_s
     gbps = (N * D * 4) / dev_s / 1e9
     log(f"device: {dev_s * 1e3:.2f} ms/batch -> {dev_qps:.1f} qps "
-        f"({gbps:.0f} GB/s effective corpus read)")
+        f"({gbps:.0f} GB/s effective corpus read incl transfer)")
 
     print(json.dumps({
         "metric": f"dense_topk_qps_1M_{D}d_b{B}",

@@ -1,0 +1,54 @@
+"""Shared benchmark harness.
+
+Timing protocol (see bench.py): per-iteration host materialization —
+under the axon tunnel ``block_until_ready`` does not synchronize with
+remote execution, so a host transfer is the only honest barrier; numbers
+include host<->device transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(record: dict) -> None:
+    print(json.dumps(record), flush=True)
+
+
+def make_corpus(n: int, d: int, seed: int = 0, clusters: int = 0):
+    """Unit-norm corpus; optionally drawn around cluster centers (real
+    embedding corpora are clustered — IVF recall depends on it)."""
+    rng = np.random.default_rng(seed)
+    if clusters:
+        centers = rng.standard_normal((clusters, d)).astype(np.float32) * 2.0
+        assign = rng.integers(0, clusters, n)
+        x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    else:
+        x = rng.standard_normal((n, d), dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def timed(fn, iters: int = 10, warmup: int = 1):
+    """Returns seconds/iteration; fn must materialize its own result."""
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def recall_at_k(got_ids: np.ndarray, oracle_ids: np.ndarray) -> float:
+    k = oracle_ids.shape[1]
+    return float(np.mean([
+        len(set(got_ids[r, :k]) & set(oracle_ids[r])) / k
+        for r in range(len(oracle_ids))]))

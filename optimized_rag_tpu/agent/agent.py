@@ -158,6 +158,16 @@ class RAGAgent:
         self.temporal_validator = TemporalValidator()
         self.calibrator = ConfidenceCalibrator()
 
+        # Observability (SURVEY.md §5: per-stage tracing, absent in the
+        # reference beyond ad-hoc logs).
+        import os
+        from optimized_rag_tpu.utils.profiling import StageTimer
+        from optimized_rag_tpu.utils.metrics_export import MetricsExporter
+        self.timer = StageTimer()
+        self.metrics_exporter = MetricsExporter(
+            os.path.join(s.data_dir, "metrics_logs")) \
+            if s.flags.enable_metrics_export else None
+
         # Ingestion + tools.
         if ingestor is None:
             from optimized_rag_tpu.services.ingest import DocumentIngestor
@@ -194,7 +204,12 @@ class RAGAgent:
         g = StateGraph(max_steps=64)
 
         def n(fn):
-            return functools.partial(fn, agent=a)
+            name = fn.__name__
+
+            def wrapped(state):
+                with a.timer.span(name):
+                    return fn(state, agent=a)
+            return wrapped
 
         g.add_node("receive_input", n(nodes.receive_input))
         g.add_node("recognize_intent", n(nodes.recognize_intent))
@@ -286,4 +301,17 @@ class RAGAgent:
                      "refinements": state.refinement_attempts,
                      "reretrieves": state.reretrieve_attempts,
                      "web_search": state.web_search_attempted})
+        # JSONL metrics export (reference rag/nodes/helpers.py:643-674).
+        if self.metrics_exporter is not None:
+            try:
+                self.metrics_exporter.export({
+                    "kind": "chat_turn", "intent": resp.intent,
+                    "factuality": resp.factuality_score,
+                    "support_ratio": resp.support_ratio,
+                    "confidence": resp.confidence,
+                    "refused": resp.refused,
+                    "tiers_used": resp.tiers_used,
+                    "latency_s": resp.metrics["latency_s"]})
+            except OSError:
+                pass
         return resp

@@ -97,18 +97,20 @@ def chunked_topk(queries: jax.Array, corpus: jax.Array, k: int,
 # ---------------------------------------------------------------------------
 
 def _tile_topk_kernel(size_ref, q_ref, c_ref, s_out, i_out, *, tile: int,
-                      k: int):
+                      k: int, precision):
     """Stage 1: per-corpus-tile top-k, scores never leave VMEM.
 
     Grid is (num_tiles,). q_ref [B,D] (full, resident); c_ref [tile,D] is the
     current corpus tile; outputs are the tile-local top-k [1,B,k].
+    Queries are cast to the corpus dtype (Mosaic wants matching operand
+    dtypes); accumulation is always float32.
     """
     t = pl.program_id(0)
     scores = jax.lax.dot_general(
-        q_ref[:], c_ref[:],
+        q_ref[:].astype(c_ref.dtype), c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # [B, tile]
+        precision=precision)                                  # [B, tile]
     base = t * tile
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col + base < size_ref[0], scores, NEG_INF)
@@ -121,18 +123,26 @@ def _tile_topk_kernel(size_ref, q_ref, c_ref, s_out, i_out, *, tile: int,
         scores = jnp.where(col == a[:, None], NEG_INF, scores)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "interpret", "precision"))
 def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
                 size: jax.Array | int | None = None, tile: int = 1024,
-                interpret: bool = False):
+                interpret: bool = False, precision=None):
     """Fused matmul+top-k via a two-stage Pallas kernel.
 
     queries [B,D] (pre-normalized), corpus [N,D] with N % tile == 0.
+    ``precision`` defaults to HIGHEST for a float32 corpus (exact ranking)
+    and DEFAULT for bfloat16 storage (half the HBM read; pair with
+    ``rescore_topk`` oversampling when exactness matters).
     """
     n, d = corpus.shape
     b = queries.shape[0]
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     assert k <= tile
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST
+                     if corpus.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
     num_tiles = n // tile
     size_arr = jnp.asarray(
         [n if size is None else size], jnp.int32)
@@ -154,7 +164,8 @@ def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
         ],
     )
     tile_s, tile_i = pl.pallas_call(
-        functools.partial(_tile_topk_kernel, tile=tile, k=k),
+        functools.partial(_tile_topk_kernel, tile=tile, k=k,
+                          precision=precision),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, b, k), jnp.float32),
@@ -171,6 +182,26 @@ def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
     cand_i = jnp.transpose(tile_i, (1, 0, 2)).reshape(b, num_tiles * k)
     top_s, pos = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def rescore_topk(queries: jax.Array, corpus: jax.Array,
+                 cand_ids: jax.Array, k: int):
+    """Exact float32 rescoring of an oversampled candidate set.
+
+    queries [B,D]; cand_ids [B,C] (C >= k) from a fast low-precision scan.
+    Gathers the C candidate rows per query and recomputes scores at
+    HIGHEST precision — restores exact ranking after a bfloat16 first
+    pass for a cost of O(B*C*D) ≪ O(B*N*D).
+    """
+    safe = jnp.maximum(cand_ids, 0)
+    cand = corpus[safe].astype(jnp.float32)                 # [B, C, D]
+    scores = jnp.einsum("bd,bcd->bc", queries.astype(jnp.float32), cand,
+                        precision=jax.lax.Precision.HIGHEST)
+    scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
+    top_s, pos = jax.lax.top_k(scores, k)
+    top_i = jnp.take_along_axis(cand_ids, pos, axis=1)
     return top_s, top_i
 
 

@@ -94,3 +94,38 @@ def test_metrics_exporter_jsonl(tmp_path):
         lines = [json.loads(l) for l in f]
     assert len(lines) == 2 and lines[0]["metric"] == "qps"
     assert "ts" in lines[0]
+
+
+def test_stage_timer_spans_and_stats():
+    from optimized_rag_tpu.utils.profiling import StageTimer
+    t = StageTimer()
+    with t.span("retrieve"):
+        with t.span("dense"):
+            pass
+        with t.span("dense"):
+            pass
+    stats = t.stats()
+    assert stats["retrieve"]["count"] == 1
+    assert stats["retrieve/dense"]["count"] == 2
+    assert stats["retrieve"]["total_s"] >= stats["retrieve/dense"]["total_s"]
+    t.reset()
+    assert t.stats() == {}
+
+
+def test_agent_timer_records_node_spans():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fakes import FakeEmbedder
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    from optimized_rag_tpu.config import Settings
+
+    class _Svc(FakeEmbedder):
+        pass
+
+    s = Settings()
+    s.flags.enable_metrics_export = False
+    a = RAGAgent(s, llm=DeterministicLLM(), embed_service=_Svc(dim=32))
+    a.chat("hello there")
+    stats = a.timer.stats()
+    assert "generate_response" in stats and "retrieve_rag" in stats
