@@ -96,8 +96,6 @@ class HybridRetriever:
 
         dres = self.dense.search(q, k=min(ck, max(self.dense.size, 1)))
         dense_ids = [int(i) for i in dres.ids[0] if i >= 0]
-        dense_scores = {int(i): float(s)
-                        for s, i in zip(dres.scores[0], dres.ids[0]) if i >= 0}
 
         lex_scores: Dict[int, float] = {}
         if self.lexical is not None and self.lexical.size > 0:
@@ -108,9 +106,14 @@ class HybridRetriever:
         if not cand:
             return []
 
-        # Channel scores over the candidate union.
-        sem = np.asarray([dense_scores.get(c, self._semantic_of(q, c))
-                          for c in cand], np.float32)
+        # Channel scores over the candidate union. Semantic scores are
+        # recomputed for the whole union in ONE batched gather+matvec (a
+        # per-candidate fallback would cost one device round trip each).
+        cand_emb = np.asarray(self.dense.get(np.asarray(cand, np.int64)),
+                              np.float32)
+        qn = np.asarray(q[0], np.float32)
+        qn = qn / max(np.linalg.norm(qn), 1e-9)
+        sem = (cand_emb @ qn).astype(np.float32)
         kw = np.asarray([lex_scores.get(c, 0.0) for c in cand], np.float32)
         if self.get_created_at is not None:
             now = time.time()
@@ -132,12 +135,6 @@ class HybridRetriever:
                 for i in order]
 
     # ------------------------------------------------------------- helpers
-
-    def _semantic_of(self, q: np.ndarray, doc_id: int) -> float:
-        """Cosine for a lexical-only candidate (one dot against its row)."""
-        emb = np.asarray(self.dense.get([doc_id]))[0]
-        qn = q[0] / max(np.linalg.norm(q[0]), 1e-9)
-        return float(qn @ emb)
 
     def _mk(self, doc_id: int, score: float, semantic=0.0, keyword=0.0,
             temporal=0.0) -> RetrievedDoc:

@@ -1,0 +1,264 @@
+"""Decoder-only language model with KV-cache generation.
+
+The reference's generation is an OpenAI chat RPC (agent/rag_graph.py:84);
+this module is the TPU-native counterpart: a flax causal LM whose entire
+serving path — prefill, KV cache, sampled decode loop — runs as compiled
+XLA with static shapes (lax.scan over decode steps).
+
+Tokenization is byte-level (vocab = 256 bytes + specials) so the vocab is
+exactly reversible without any downloaded files — the right call in a
+no-egress environment, and the model can later load trained weights
+through models/loader.py conventions.
+
+``LocalLMProvider`` adapts the model to the agent's LLMProvider interface
+so the whole RAG stack can run generation on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD = 0
+BOS = 1
+EOS = 2
+NUM_SPECIAL = 3
+BYTE_OFFSET = NUM_SPECIAL          # byte b -> id b + 3
+
+
+def encode_bytes(text: str, max_len: Optional[int] = None) -> np.ndarray:
+    ids = [BOS] + [b + BYTE_OFFSET for b in text.encode("utf-8")]
+    if max_len is not None:
+        ids = ids[:max_len]
+    return np.asarray(ids, np.int32)
+
+
+def decode_bytes(ids: Sequence[int]) -> str:
+    out = bytes(i - BYTE_OFFSET for i in ids
+                if i >= BYTE_OFFSET)
+    return out.decode("utf-8", errors="replace")
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 256 + NUM_SPECIAL
+    hidden_dim: int = 384
+    num_layers: int = 6
+    num_heads: int = 6
+    mlp_dim: int = 1536
+    max_seq_len: int = 1024
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+
+class _CausalBlock(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, kv_cache=None, pos=None):
+        """x [B, L, H]. Without cache: full causal self-attention.
+        With cache (k, v of shape [B, max_len, heads, hd]) and pos: one
+        decode step (L == 1) attending to cache[:pos+1]."""
+        c = self.cfg
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(c.dtype)
+        b, l, _ = h.shape
+        qkv = nn.Dense(3 * c.hidden_dim, dtype=c.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = (b, l, c.num_heads, c.head_dim)
+        q, k, v = (t.reshape(shape) for t in (q, k, v))
+        scale = 1.0 / np.sqrt(c.head_dim)
+
+        if kv_cache is None:
+            att = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale
+            causal = jnp.tril(jnp.ones((l, l), bool))
+            att = jnp.where(causal[None, None], att.astype(jnp.float32),
+                            -1e30)
+            att = jax.nn.softmax(att, axis=-1).astype(c.dtype)
+            out = jnp.einsum("bhlm,bmhd->blhd", att, v)
+            new_cache = (k, v)
+        else:
+            ck, cv = kv_cache                     # [B, M, h, d]
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, pos, 0, 0))
+            att = jnp.einsum("blhd,bmhd->bhlm", q, ck) * scale
+            m = ck.shape[1]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+            valid = idx <= pos
+            att = jnp.where(valid[None, None, None],
+                            att.astype(jnp.float32), -1e30)
+            att = jax.nn.softmax(att, axis=-1).astype(c.dtype)
+            out = jnp.einsum("bhlm,bmhd->blhd", att, cv)
+            new_cache = (ck, cv)
+
+        out = out.reshape(b, l, c.hidden_dim)
+        x = x + nn.Dense(c.hidden_dim, dtype=c.dtype, name="attn_out")(out)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(c.dtype)
+        h = nn.Dense(c.mlp_dim, dtype=c.dtype, name="mlp_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(c.hidden_dim, dtype=c.dtype, name="mlp_out")(h)
+        return x + h, new_cache
+
+
+class DecoderLM(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, ids, kv_caches=None, pos=None):
+        """ids [B, L] -> (logits [B, L, V], caches).
+
+        kv_caches: None (full causal forward / prefill from scratch) or a
+        list of per-layer (k, v) buffers with ``pos`` for one-step decode.
+        """
+        c = self.cfg
+        tok = nn.Embed(c.vocab_size, c.hidden_dim, dtype=c.dtype,
+                       name="tok")(ids)
+        if pos is None:
+            positions = jnp.arange(ids.shape[1])[None]
+        else:
+            positions = jnp.full((1, ids.shape[1]), pos)
+        tok = tok + nn.Embed(c.max_seq_len, c.hidden_dim, dtype=c.dtype,
+                             name="pos")(positions)
+        x = tok
+        new_caches = []
+        for i in range(c.num_layers):
+            cache_i = None if kv_caches is None else kv_caches[i]
+            x, cache = _CausalBlock(c, name=f"block_{i}")(x, cache_i, pos)
+            new_caches.append(cache)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+        logits = nn.Dense(c.vocab_size, dtype=jnp.float32,
+                          name="head")(x)
+        return logits, new_caches
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+class Generator:
+    """Compiled prefill + scan-decode text generation."""
+
+    def __init__(self, cfg: DecoderConfig | None = None, params=None,
+                 seed: int = 0, max_prompt_len: int = 768,
+                 max_new_tokens: int = 256):
+        self.cfg = cfg or DecoderConfig()
+        assert max_prompt_len + max_new_tokens <= self.cfg.max_seq_len
+        self.max_prompt_len = max_prompt_len
+        self.max_new_tokens = max_new_tokens
+        self.model = DecoderLM(self.cfg)
+        if params is None:
+            params = self.model.init(jax.random.PRNGKey(seed),
+                                     jnp.zeros((1, 8), jnp.int32))
+        self.params = params
+        self._generate = jax.jit(
+            self._generate_impl, static_argnames=("max_new",))
+
+    # -- compiled pipeline --------------------------------------------------
+
+    def _generate_impl(self, params, ids, prompt_len, key, temperature,
+                       max_new: int):
+        """ids [1, max_prompt_len] padded; returns [max_new] token ids."""
+        c = self.cfg
+        total = self.max_prompt_len + max_new
+        # Prefill: full causal forward over the padded prompt; build caches
+        # padded to `total`.
+        logits, caches = self.model.apply(params, ids)
+        caches = [
+            (jnp.zeros((1, total, c.num_heads, c.head_dim),
+                       c.dtype).at[:, : self.max_prompt_len].set(k),
+             jnp.zeros((1, total, c.num_heads, c.head_dim),
+                       c.dtype).at[:, : self.max_prompt_len].set(v))
+            for k, v in caches]
+        last_logits = jnp.take_along_axis(
+            logits, (prompt_len - 1)[None, None, None], axis=1)[0, 0]
+
+        def sample(logits, key):
+            return jax.lax.cond(
+                temperature <= 1e-4,
+                lambda: jnp.argmax(logits).astype(jnp.int32),
+                lambda: jax.random.categorical(
+                    key, logits / jnp.maximum(temperature, 1e-4)
+                ).astype(jnp.int32))
+
+        def step(carry, _):
+            caches, logits, pos, key, done = carry
+            key, sub = jax.random.split(key)
+            tok = sample(logits, sub)
+            tok = jnp.where(done, PAD, tok)
+            out_tok = tok
+            new_logits, new_caches = self.model.apply(
+                params, tok[None, None], kv_caches=caches, pos=pos)
+            done = done | (tok == EOS)
+            return ((new_caches, new_logits[0, 0], pos + 1, key, done),
+                    out_tok)
+
+        init = (caches, last_logits, prompt_len, key, jnp.asarray(False))
+        _, toks = jax.lax.scan(step, init, None, length=max_new)
+        return toks
+
+    # -- host API -----------------------------------------------------------
+
+    def generate(self, prompt: str, max_new_tokens: Optional[int] = None,
+                 temperature: float = 0.0, seed: int = 0) -> str:
+        max_new = max_new_tokens or self.max_new_tokens
+        ids = encode_bytes(prompt, self.max_prompt_len)
+        plen = len(ids)
+        padded = np.zeros((1, self.max_prompt_len), np.int32)
+        padded[0, :plen] = ids
+        toks = self._generate(self.params, jnp.asarray(padded),
+                              jnp.asarray(plen, jnp.int32),
+                              jax.random.PRNGKey(seed),
+                              jnp.asarray(temperature, jnp.float32),
+                              max_new=max_new)
+        toks = np.asarray(toks).tolist()
+        if EOS in toks:
+            toks = toks[: toks.index(EOS)]
+        return decode_bytes(toks)
+
+    def score(self, text: str) -> float:
+        """Mean next-token log-prob (perplexity surrogate for tests)."""
+        ids = encode_bytes(text, self.cfg.max_seq_len)[None]
+        logits, _ = self.model.apply(self.params, jnp.asarray(ids))
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+        tgt = jnp.asarray(ids)[:, 1:]
+        token_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)
+        return float(token_lp.mean())
+
+
+class LocalLMProvider:
+    """LLMProvider backed by the on-device Generator.
+
+    Generation quality depends on trained weights; structurally this
+    completes the no-network serving path. ``fallback`` (default: the
+    DeterministicLLM) answers structured/task-tagged calls the raw LM
+    cannot, so the agent remains fully functional.
+    """
+
+    def __init__(self, generator: Generator, fallback=None,
+                 temperature: float = 0.0):
+        from optimized_rag_tpu.agent.llm import DeterministicLLM
+        self.generator = generator
+        self.fallback = fallback or DeterministicLLM()
+        self.temperature = temperature
+
+    def complete(self, prompt: str, task: str = "", **kw) -> str:
+        if task in ("generate", "cot", "synthesize"):
+            out = self.generator.generate(
+                prompt[-self.generator.max_prompt_len:],
+                temperature=kw.get("temperature", self.temperature))
+            if out.strip():
+                return out
+        return self.fallback.complete(prompt, task=task, **kw)
+
+    def structured(self, prompt: str, keys, task: str = "", **kw):
+        return self.fallback.structured(prompt, keys, task=task, **kw)

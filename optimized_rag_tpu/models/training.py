@@ -43,6 +43,8 @@ def param_pspec(path: tuple, leaf) -> P:
     names = [getattr(k, "key", str(k)) for k in path]
     joined = "/".join(names)
     ndim = getattr(leaf, "ndim", 0)
+    if "qkv" in joined and "kernel" in joined:
+        return P(None, "model")          # decoder fused qkv [H, 3H]
     if "attn" in joined and "kernel" in joined:
         if "out" in joined:
             # [heads, head_dim, hidden] — split heads (row-parallel input)
@@ -131,6 +133,63 @@ class BiEncoderTrainer:
         with jax.sharding.set_mesh(self.mesh):
             self.params, self.opt_state, loss = self._step(
                 self.params, self.opt_state, q_ids, q_mask, d_ids, d_mask)
+        return float(loss)
+
+
+# ---------------------------------------------------------------------------
+# Decoder LM training (next-token cross-entropy)
+# ---------------------------------------------------------------------------
+
+class DecoderTrainer:
+    """Causal-LM trainer on the (data, model) mesh: DP batch shards + TP
+    attention/MLP kernels (same partitioning rules as the encoders —
+    param_pspec keys on qkv/attn_out/mlp_in/mlp_out paths)."""
+
+    def __init__(self, cfg, mesh: Mesh, learning_rate: float = 3e-4,
+                 seed: int = 0):
+        from optimized_rag_tpu.models.decoder import PAD, DecoderLM
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model = DecoderLM(cfg)
+        self._pad = PAD
+        params = self.model.init(jax.random.PRNGKey(seed),
+                                 jnp.zeros((1, 8), jnp.int32))
+        self.params = shard_params(params, mesh)
+        self.tx = optax.adamw(learning_rate)
+        self.opt_state = jax.device_put(self.tx.init(params),
+                                        NamedSharding(mesh, P()))
+        self._step = self._build_step()
+
+    def _build_step(self):
+        batch_sharding = NamedSharding(self.mesh, P("data", None))
+        p_shard = param_shardings(self.params, self.mesh)
+        pad = self._pad
+
+        def loss_fn(params, ids):
+            logits, _ = self.model.apply(params, ids)
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+            tgt = ids[:, 1:]
+            mask = (tgt != pad).astype(jnp.float32)
+            token_lp = jnp.take_along_axis(logp, tgt[..., None],
+                                           axis=-1)[..., 0]
+            return -(token_lp * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(p_shard, None, batch_sharding),
+            out_shardings=(p_shard, None, None))
+        def step(params, opt_state, ids):
+            loss, grads = jax.value_and_grad(loss_fn)(params, ids)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    def train_step(self, ids) -> float:
+        with jax.sharding.set_mesh(self.mesh):
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, ids)
         return float(loss)
 
 
