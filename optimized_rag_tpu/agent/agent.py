@@ -256,6 +256,23 @@ class RAGAgent:
         g.add_edge("update_memory", END)
         return g.compile()
 
+    # ---------------------------------------------------------------- warmup
+
+    def warmup(self) -> float:
+        """Precompile the hot shapes (encoder buckets, top-k, rerank) so
+        the first real chat turn is not compile-bound. Returns seconds."""
+        t0 = time.time()
+        probe = ["warmup probe text one", "warmup probe text two"]
+        self.embed_fn(probe)
+        if self.dense.size > 0:
+            self.dense.search(self.embed_fn(["warmup query"]), k=min(
+                self.settings.retrieval.top_k, self.dense.size))
+            if self.lexical.size > 0:
+                self.lexical.search("warmup query", k=5)
+        if self.cross_encoder is not None:
+            self.cross_encoder.score_pairs("warmup", ["warmup doc"])
+        return time.time() - t0
+
     # ------------------------------------------------------------------ chat
 
     def chat(self, user_input: str, trace: Optional[list] = None
