@@ -19,7 +19,7 @@ sys.path.insert(0, ".")
 from benchmarks.common import emit, log, make_corpus, recall_at_k, timed
 
 
-def ivf10m(n: int = 10_000_000, d: int = 128) -> None:
+def ivf10m(n: int = 10_485_760, d: int = 128) -> None:  # 10*2^20 (chunk-divisible)
     import jax.numpy as jnp
     from optimized_rag_tpu.index.ivf import IVFIndex
     from optimized_rag_tpu.ops.topk import chunked_topk

@@ -1,0 +1,129 @@
+"""Micro-batching query executor.
+
+Production serving layer the reference lacks entirely (it is a single-user
+REPL, main.py:14): concurrent callers enqueue queries; a dispatcher thread
+coalesces them into one batched embed + one batched fused top-k dispatch —
+the shape the TPU actually wants (per-call dispatch costs a host<->device
+round trip; batches amortize it).
+
+Usage:
+    server = QueryServer(embed_fn, index, max_batch=64, max_wait_ms=5)
+    server.start()
+    fut = server.submit("some query", k=10)
+    scores, ids = fut.result()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    query: str
+    k: int
+    future: Future = field(default_factory=Future)
+    enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+class QueryServer:
+    def __init__(self, embed_fn: Callable[[List[str]], np.ndarray],
+                 index, max_batch: int = 64, max_wait_ms: float = 5.0,
+                 max_k: int = 100):
+        self.embed_fn = embed_fn
+        self.index = index            # anything with .search(q_batch, k)
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.max_k = max_k
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self.stats = {"batches": 0, "queries": 0, "max_batch_seen": 0,
+                      "wait_ms_sum": 0.0}
+
+    # ---------------------------------------------------------------- API
+
+    def start(self) -> None:
+        assert not self._running
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        self._q.put(None)
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def submit(self, query: str, k: int = 10) -> Future:
+        assert self._running, "server not started"
+        assert k <= self.max_k, f"k={k} > max_k={self.max_k}"
+        req = _Request(query=query, k=k)
+        self._q.put(req)
+        return req.future
+
+    def search(self, query: str, k: int = 10, timeout: float = 30.0):
+        return self.submit(query, k).result(timeout=timeout)
+
+    # ------------------------------------------------------------- internal
+
+    def _collect(self) -> List[_Request]:
+        """Block for the first request, then coalesce briefly."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                req = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                self._q.put(None)  # re-signal stop after this batch
+                break
+            batch.append(req)
+        return batch
+
+    def _loop(self) -> None:
+        while self._running:
+            batch = self._collect()
+            if not batch:
+                break
+            t0 = time.perf_counter()
+            try:
+                k_eff = max(r.k for r in batch)
+                q = self.embed_fn([r.query for r in batch])
+                res = self.index.search(np.atleast_2d(q), k=k_eff)
+                scores, ids = (res.scores, res.ids) \
+                    if hasattr(res, "scores") else res
+                for row, req in enumerate(batch):
+                    req.future.set_result(
+                        (scores[row, : req.k], ids[row, : req.k]))
+            except Exception as exc:
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+            self.stats["batches"] += 1
+            self.stats["queries"] += len(batch)
+            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
+                                               len(batch))
+            self.stats["wait_ms_sum"] += sum(
+                (t0 - r.enqueued_at) * 1e3 for r in batch)
+
+    def get_stats(self) -> dict:
+        s = dict(self.stats)
+        s["avg_batch"] = (s["queries"] / s["batches"]) if s["batches"] else 0
+        s["avg_queue_wait_ms"] = (s["wait_ms_sum"] / s["queries"]
+                                  if s["queries"] else 0.0)
+        return s

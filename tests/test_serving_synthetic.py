@@ -1,0 +1,120 @@
+"""QueryServer micro-batching + synthetic end-to-end engine evaluation."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from optimized_rag_tpu.engine.retriever import HybridRetriever
+from optimized_rag_tpu.eval.synthetic import evaluate_retriever, make_dataset
+from optimized_rag_tpu.index.dense import DenseIndex
+from optimized_rag_tpu.index.lexical import LexicalIndex
+from optimized_rag_tpu.serving import QueryServer
+
+from fakes import FakeEmbedder
+
+
+@pytest.fixture
+def served_index(rng):
+    emb = FakeEmbedder(dim=32)
+    docs = [f"document number {i} about topic {i % 5}" for i in range(200)]
+    idx = DenseIndex(dim=32, capacity_block=256, tile=256)
+    idx.add(emb(docs))
+    return emb, idx, docs
+
+
+def test_server_batches_concurrent_queries(served_index):
+    emb, idx, docs = served_index
+    server = QueryServer(emb, idx, max_batch=32, max_wait_ms=30)
+    server.start()
+    try:
+        futures = [server.submit(docs[i], k=3) for i in range(20)]
+        results = [f.result(timeout=10) for f in futures]
+        for i, (scores, ids) in enumerate(results):
+            assert ids[0] == i           # self-retrieval
+            assert scores.shape == (3,)
+        stats = server.get_stats()
+        assert stats["queries"] == 20
+        assert stats["batches"] < 20     # coalescing happened
+        assert stats["max_batch_seen"] > 1
+    finally:
+        server.stop()
+
+
+def test_server_mixed_k(served_index):
+    emb, idx, docs = served_index
+    server = QueryServer(emb, idx, max_batch=8, max_wait_ms=20)
+    server.start()
+    try:
+        f1 = server.submit(docs[0], k=1)
+        f2 = server.submit(docs[1], k=7)
+        s1, i1 = f1.result(5)
+        s2, i2 = f2.result(5)
+        assert len(i1) == 1 and len(i2) == 7
+    finally:
+        server.stop()
+
+
+def test_server_error_propagates(served_index):
+    emb, idx, docs = served_index
+
+    class Boom:
+        def search(self, q, k):
+            raise RuntimeError("index exploded")
+
+    server = QueryServer(emb, Boom(), max_wait_ms=1)
+    server.start()
+    try:
+        with pytest.raises(RuntimeError, match="exploded"):
+            server.submit("q", k=2).result(5)
+    finally:
+        server.stop()
+
+
+def test_server_stop_is_clean(served_index):
+    emb, idx, _ = served_index
+    server = QueryServer(emb, idx)
+    server.start()
+    server.stop()
+    assert not server._thread.is_alive()
+
+
+# ------------------------------------------------------------- synthetic eval
+
+def test_synthetic_dataset_construction():
+    ds = make_dataset(num_docs=100, num_topics=5, num_queries=10, seed=1)
+    assert ds.num_docs == 100 and len(ds.queries) == 10
+    for qt, rel in zip(ds.query_topics, ds.relevant):
+        assert all(ds.doc_topics[d] == qt for d in rel)
+
+
+def test_engine_beats_random_on_synthetic():
+    ds = make_dataset(num_docs=300, num_topics=10, num_queries=30, seed=2)
+    emb = FakeEmbedder(dim=64)
+    dense = DenseIndex(dim=64, capacity_block=512, tile=256)
+    dense.add(emb(ds.texts))
+    lex = LexicalIndex(vocab_hash_bits=15, cap=64)
+    lex.add(ds.texts)
+    retr = HybridRetriever(dense, lex, emb, get_text=lambda i: ds.texts[i])
+    metrics = evaluate_retriever(
+        lambda q, k: retr.hybrid_search(q, top_k=k), ds, k=10)
+    # Topic docs are ~30/300; random P@10 would be ~0.1.
+    assert metrics["precision@10"] > 0.8, metrics
+    assert metrics["mrr"] > 0.8, metrics
+
+
+def test_dense_only_vs_hybrid_on_synthetic():
+    """Hybrid (lexical channel) must help on keyword-disjoint topics."""
+    ds = make_dataset(num_docs=200, num_topics=8, num_queries=20, seed=3)
+    emb = FakeEmbedder(dim=32)
+    dense = DenseIndex(dim=32, capacity_block=256, tile=256)
+    dense.add(emb(ds.texts))
+    lex = LexicalIndex(vocab_hash_bits=15, cap=64)
+    lex.add(ds.texts)
+    retr = HybridRetriever(dense, lex, emb, get_text=lambda i: ds.texts[i])
+    hybrid = evaluate_retriever(
+        lambda q, k: retr.hybrid_search(q, top_k=k), ds, k=10)
+    dense_only = evaluate_retriever(
+        lambda q, k: retr.dense_only(q, k), ds, k=10)
+    assert hybrid["recall@10"] >= dense_only["recall@10"]
