@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Dict, List, Optional, Protocol, Sequence
+from typing import Dict, List, Protocol, Sequence
 
 
 class LLMProvider(Protocol):

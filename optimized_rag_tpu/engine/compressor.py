@@ -12,7 +12,6 @@ from __future__ import annotations
 import re
 from typing import Callable, List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from optimized_rag_tpu.engine.types import Intent, RetrievedDoc

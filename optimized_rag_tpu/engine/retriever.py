@@ -17,7 +17,7 @@ Recency decay is 0.5^(age_days/half_life) (reference rag/retrieval.py:283).
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

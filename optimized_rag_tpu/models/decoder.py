@@ -17,7 +17,6 @@ so the whole RAG stack can run generation on-device.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn

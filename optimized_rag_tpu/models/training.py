@@ -18,7 +18,6 @@ reranker model, rag/reranker.py:313).
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

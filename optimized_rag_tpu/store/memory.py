@@ -11,7 +11,6 @@ The embedding service is the on-device BiEncoder (models/encoder.py).
 
 from __future__ import annotations
 
-import time
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
