@@ -43,8 +43,27 @@ def html_to_text(markup: str) -> str:
     return "".join(p.parts)
 
 
+def docx_to_text(path: str) -> str:
+    """DOCX extraction with stdlib only (a .docx is a zip of XML;
+    paragraphs are <w:p>, runs are <w:t>). Reference uses python-docx
+    (rag/document_processor.py), unavailable here."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+    ns = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        with z.open("word/document.xml") as f:
+            tree = ET.parse(f)
+    paragraphs = []
+    for p in tree.iter(f"{ns}p"):
+        text = "".join(t.text or "" for t in p.iter(f"{ns}t"))
+        if text.strip():
+            paragraphs.append(text)
+    return "\n".join(paragraphs)
+
+
 class DocumentProcessor:
-    SUPPORTED = (".txt", ".md", ".markdown", ".html", ".htm", ".pdf")
+    SUPPORTED = (".txt", ".md", ".markdown", ".html", ".htm", ".pdf",
+                 ".docx")
 
     def __init__(self, wrangler: DataWrangler | None = None):
         self.wrangler = wrangler or DataWrangler()
@@ -59,6 +78,8 @@ class DocumentProcessor:
                 return html_to_text(f.read())
         if ext == ".pdf":
             return self._extract_pdf(path)
+        if ext == ".docx":
+            return docx_to_text(path)
         raise ValueError(f"unsupported file type: {ext}")
 
     @staticmethod

@@ -25,6 +25,37 @@ from optimized_rag_tpu.ops.fusion import blend_rerank, rrf_fuse
 from optimized_rag_tpu.ops.mmr import mmr_select
 
 
+class EmbeddingReranker:
+    """Bi-encoder reranker: re-score candidates by query-doc cosine and
+    blend with the original score (reference OpenAIReranker,
+    rag/reranker.py:13-101 — its one batched embedding call for k+1 texts
+    becomes one on-device encoder forward)."""
+
+    def __init__(self, embed_fn: Callable, blend_original: float = 0.3):
+        self.embed_fn = embed_fn
+        self.blend_original = blend_original
+
+    def rerank(self, query: str, docs: List[RetrievedDoc],
+               top_k: int | None = None) -> List[RetrievedDoc]:
+        if not docs:
+            return []
+        embs = np.atleast_2d(self.embed_fn([query] + [d.text for d in docs]))
+        q, d_embs = embs[0], embs[1:]
+        new = (d_embs @ q).astype(np.float32)
+        orig = np.asarray([d.score for d in docs], np.float32)
+        blended = np.asarray(blend_rerank(jnp.asarray(new),
+                                          jnp.asarray(orig),
+                                          self.blend_original))
+        order = np.argsort(-blended, kind="stable")
+        out = []
+        for i in order[: top_k or len(docs)]:
+            doc = docs[int(i)]
+            doc.rerank_score = float(new[int(i)])
+            doc.score = float(blended[int(i)])
+            out.append(doc)
+        return out
+
+
 class SelectiveReranker:
     def __init__(self, cross_encoder=None,
                  embed_fn: Optional[Callable] = None,
@@ -34,11 +65,14 @@ class SelectiveReranker:
                  low_variance_rerank: float = 0.05):
         self.cross_encoder = cross_encoder  # CrossEncoderService or None
         self.embed_fn = embed_fn
+        self.embedding_reranker = (EmbeddingReranker(embed_fn,
+                                                     blend_original)
+                                   if embed_fn is not None else None)
         self.blend_original = blend_original
         self.low_score_force = low_score_force
         self.high_variance_skip = high_variance_skip
         self.low_variance_rerank = low_variance_rerank
-        self.stats = {"reranked": 0, "skipped": 0}
+        self.stats = {"reranked": 0, "skipped": 0, "embedding_reranked": 0}
 
     # -------------------------------------------------------------- policy
 
@@ -68,12 +102,29 @@ class SelectiveReranker:
     def rerank(self, query: str, docs: List[RetrievedDoc],
                intent: Intent | str | None = None, top_k: int | None = None
                ) -> List[RetrievedDoc]:
-        """Apply the policy; returns (possibly) reranked docs."""
-        if not docs or self.cross_encoder is None:
-            self.stats["skipped"] += 1
-            return docs[:top_k] if top_k else docs
+        """Apply the policy; returns (possibly) reranked docs.
+
+        Routing mirrors the reference: precision intents -> cross-encoder,
+        chat/search -> embedding reranker; fallback chain cross-encoder ->
+        embedding reranker -> passthrough (selective_reranker.py:166-226).
+        """
+        if not docs:
+            return docs
         do, _reason = self.should_rerank(docs, intent)
         if not do:
+            self.stats["skipped"] += 1
+            return docs[:top_k] if top_k else docs
+        is_precision = False
+        try:
+            is_precision = Intent(intent) in PRECISION_INTENTS
+        except (ValueError, TypeError):
+            pass
+        if (self.cross_encoder is None or not is_precision) \
+                and self.embedding_reranker is not None \
+                and self.cross_encoder is None:
+            self.stats["embedding_reranked"] += 1
+            return self.embedding_reranker.rerank(query, docs, top_k)
+        if self.cross_encoder is None:
             self.stats["skipped"] += 1
             return docs[:top_k] if top_k else docs
         self.stats["reranked"] += 1

@@ -92,7 +92,8 @@ class DocumentIngestor:
     def upload_file(self, path: str, metadata: Optional[Dict] = None) -> Dict:
         try:
             text = self.processor.extract_text(path)
-        except (ValueError, RuntimeError, OSError) as exc:
+        except Exception as exc:  # fail-open per file: one corrupt file
+            # must not abort a directory upload (reference behavior)
             return {"ok": False, "error": str(exc), "path": path}
         return self.ingest_text(text, filename=os.path.basename(path),
                                 title=os.path.splitext(

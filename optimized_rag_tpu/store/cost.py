@@ -94,6 +94,19 @@ class CostTracker:
             **{k: round(v, 6) for k, v in self.totals.items()},
         }
 
+    def get_cost_savings_report(self) -> Dict:
+        """What the on-device path saved vs the reference's API spend
+        (reference database/dw_grpo_persistence.py:410)."""
+        avoided = self.totals["api_cost_avoided"]
+        spent = self.get_total_cost()
+        return {
+            "api_cost_avoided_usd": round(avoided, 6),
+            "actual_cost_usd": round(spent, 6),
+            "net_savings_usd": round(avoided - spent, 6),
+            "device_seconds": round(self.totals["device_seconds"], 3),
+            "embedding_tokens_on_device": self.totals["embedding_tokens"],
+        }
+
     def get_daily_report(self, days: int = 30) -> Dict[str, Dict]:
         cutoff = time.time() - days * 86400
         out = {}

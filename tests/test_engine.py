@@ -338,3 +338,46 @@ def test_dedup_exact_fuzzy_semantic(embed):
     d = Deduplicator(embed_fn=embed)
     keep = d.dedup(texts)
     assert keep == [0, 3]
+
+
+def test_embedding_reranker_reorders(embed):
+    from optimized_rag_tpu.engine.rerank import EmbeddingReranker
+    texts = ["tpu systolic array hardware", "irrelevant banana content"]
+    docs = _mk_docs([0.4, 0.9], texts)  # orig favors the wrong doc
+    rr = EmbeddingReranker(embed, blend_original=0.0)
+    out = rr.rerank("tpu systolic array", docs)
+    assert out[0].doc_id == 0 and out[0].rerank_score is not None
+
+
+def test_selective_routes_to_embedding_reranker_without_cross_encoder(embed):
+    sr = SelectiveReranker(cross_encoder=None, embed_fn=embed)
+    texts = ["tpu systolic array hardware", "irrelevant banana content"]
+    docs = _mk_docs([0.4, 0.9], texts)
+    out = sr.rerank("tpu systolic array", docs, Intent.SEARCH)
+    assert sr.stats["embedding_reranked"] == 1
+    assert out[0].doc_id == 0
+
+
+def test_docx_extraction(tmp_path):
+    import zipfile
+    from optimized_rag_tpu.engine.documents import DocumentProcessor
+    doc_xml = (
+        '<?xml version="1.0"?><w:document '
+        'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        '<w:body><w:p><w:r><w:t>Hello docx</w:t></w:r></w:p>'
+        '<w:p><w:r><w:t>Second paragraph.</w:t></w:r></w:p>'
+        '</w:body></w:document>')
+    path = tmp_path / "t.docx"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    text = DocumentProcessor().extract_text(str(path))
+    assert "Hello docx" in text and "Second paragraph." in text
+
+
+def test_cost_savings_report():
+    from optimized_rag_tpu.store.cost import CostTracker
+    t = CostTracker()
+    t.track_embedding(1_000_000, "on-device", device_seconds=1.0)
+    rep = t.get_cost_savings_report()
+    assert rep["api_cost_avoided_usd"] > 0
+    assert rep["net_savings_usd"] == rep["api_cost_avoided_usd"]
