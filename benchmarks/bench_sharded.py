@@ -16,7 +16,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, ".")
-from benchmarks.common import emit, log, make_corpus, recall_at_k, timed
+from benchmarks.common import (
+    emit, log, make_corpus, make_corpus_device, recall_at_k, timed)
 
 
 def ivf10m(n: int = 10_485_760, d: int = 128) -> None:  # 10*2^20 (chunk-divisible)
@@ -24,46 +25,53 @@ def ivf10m(n: int = 10_485_760, d: int = 128) -> None:  # 10*2^20 (chunk-divisib
     from optimized_rag_tpu.index.ivf import IVFIndex
     from optimized_rag_tpu.ops.topk import chunked_topk
 
-    log(f"building {n}x{d} clustered corpus...")
-    corpus = make_corpus(n, d, clusters=4096)
+    log(f"building {n}x{d} clustered corpus ON DEVICE (bf16 storage)...")
+    corpus = make_corpus_device(n, d, clusters=4096, dtype=jnp.bfloat16)
+    corpus.block_until_ready()
+    log("corpus ready; building IVF...")
     ivf = IVFIndex(num_clusters=4096, nprobe=128, kmeans_iters=6, tile=2048)
     import time
     t0 = time.perf_counter()
-    ivf.build(corpus)
+    ivf.build(corpus, storage_dtype=jnp.bfloat16)
     build_s = time.perf_counter() - t0
     log(f"IVF build (on-device k-means, {ivf.num_clusters_built} clusters): "
         f"{build_s:.1f}s; window={ivf._window}")
 
     rng = np.random.default_rng(7)
     b = 64
-    q = corpus[rng.integers(0, n, b)] + \
-        0.05 * rng.standard_normal((b, d)).astype(np.float32)
+    # Queries = perturbed corpus rows; only b rows cross the link.
+    base_rows = np.asarray(corpus[jnp.asarray(rng.integers(0, n, b))])
+    q = base_rows + 0.05 * rng.standard_normal((b, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     # Exact oracle via streamed chunked top-k on device (CPU would take
     # minutes at 10M).
-    cj = jnp.asarray(corpus)
+    cj = corpus
     oracle_s, oracle_i = chunked_topk(jnp.asarray(q), cj, 10, chunk=131072)
     oracle_i = np.asarray(oracle_i)
-
-    def run():
-        run.out = ivf.search(q, k=10)
-        _ = run.out[1]
-    dt = timed(run, iters=5)
-    rec = recall_at_k(run.out[1], oracle_i)
 
     def run_exact():
         s, i = chunked_topk(jnp.asarray(q), cj, 10, chunk=131072)
         _ = np.asarray(i)
     dt_exact = timed(run_exact, iters=3)
 
-    emit({"stage": 4, "metric": "ivf_10M_qps", "n": n,
-          "qps": round(b / dt, 1), "exact_qps": round(b / dt_exact, 1),
-          "speedup_vs_exact": round(dt_exact / dt, 2),
-          "recall_at_10_vs_exact": round(rec, 4),
+    sweep = {}
+    for nprobe in (8, 16, 32, 64, 128):
+        def run():
+            run.out = ivf.search(q, k=10, nprobe=nprobe)
+            _ = run.out[1]
+        dt = timed(run, iters=5)
+        rec = recall_at_k(run.out[1], oracle_i)
+        sweep[nprobe] = {"qps": round(b / dt, 1),
+                         "recall_at_10": round(rec, 4)}
+        log(f"nprobe={nprobe}: {sweep[nprobe]}")
+
+    emit({"stage": 4, "metric": "ivf_10M_sweep", "n": n,
+          "exact_qps": round(b / dt_exact, 1),
           "build_seconds": round(build_s, 1),
-          "nprobe": ivf.nprobe,
-          "clusters": ivf.num_clusters_built})
+          "clusters": ivf.num_clusters_built,
+          "window": ivf._window,
+          "nprobe_sweep": sweep})
 
 
 def mesh_validate() -> None:

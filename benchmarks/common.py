@@ -37,6 +37,45 @@ def make_corpus(n: int, d: int, seed: int = 0, clusters: int = 0):
     return x
 
 
+def make_corpus_device(n: int, d: int, seed: int = 0, clusters: int = 0,
+                       chunk: int = 1 << 20, dtype=None):
+    """Generate the corpus ON DEVICE (jax.random), never shipping N*D
+    floats across the host<->device link — at 10M x 128 the host path
+    pushes 5 GB through the tunnel and can wedge it. Chunked so peak
+    memory stays bounded during generation."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    k_centers, k_assign, k_noise = jax.random.split(key, 3)
+    centers = (jax.random.normal(k_centers, (max(clusters, 1), d),
+                                 jnp.float32) * 2.0) if clusters else None
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def gen_chunk(k1, k2, rows):
+        noise = jax.random.normal(k1, (rows, d), jnp.float32)
+        if centers is not None:
+            assign = jax.random.randint(k2, (rows,), 0, clusters)
+            x = centers[assign] + noise
+        else:
+            x = noise
+        x = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+        return x.astype(dtype) if dtype is not None else x
+
+    parts = []
+    done = 0
+    while done < n:
+        rows = min(chunk, n - done)
+        k_noise, k1 = jax.random.split(k_noise)
+        k_assign, k2 = jax.random.split(k_assign)
+        parts.append(gen_chunk(k1, k2, rows))
+        done += rows
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def timed(fn, iters: int = 10, warmup: int = 1):
     """Returns seconds/iteration; fn must materialize its own result."""
     for _ in range(warmup):

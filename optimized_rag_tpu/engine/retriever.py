@@ -26,7 +26,10 @@ from optimized_rag_tpu.engine.types import (
     Intent, RetrievedDoc, Source, intent_weights, retrieval_strategy)
 from optimized_rag_tpu.index.dense import DenseIndex
 from optimized_rag_tpu.index.lexical import LexicalIndex
-from optimized_rag_tpu.ops.fusion import temporal_decay, weighted_fusion
+from optimized_rag_tpu.ops.similarity import normalize
+from optimized_rag_tpu.ops.topk import NEG_INF
+
+NEG_INF_HALF = NEG_INF / 2
 
 
 class HybridRetriever:
@@ -94,45 +97,80 @@ class HybridRetriever:
              else self.embed_fn([query]))
         q = np.atleast_2d(q)
 
-        dres = self.dense.search(q, k=min(ck, max(self.dense.size, 1)))
-        dense_ids = [int(i) for i in dres.ids[0] if i >= 0]
-
-        lex_scores: Dict[int, float] = {}
-        if self.lexical is not None and self.lexical.size > 0:
-            ls, li = self.lexical.search(query, k=ck)
-            lex_scores = {int(i): float(s) for s, i in zip(ls, li) if i >= 0}
+        # Fast path: both channels in ONE device dispatch (ops/hybrid.py),
+        # then one fused gather+score+blend dispatch below. Falls back to
+        # separate dispatches when tombstones force oversample+filter.
+        if self.lexical is not None and self.lexical.size > 0 \
+                and not self.dense._tombstones and self.dense.size > 0:
+            from optimized_rag_tpu.ops.hybrid import dual_topk
+            if self.lexical._device is None:
+                self.lexical.build()
+            dvc = self.lexical._device
+            qt, qv = self.lexical.encode_query(query)
+            kk = min(ck, self.dense.size)
+            qn0 = np.asarray(q, np.float32)
+            qn0 = qn0 / np.maximum(
+                np.linalg.norm(qn0, axis=1, keepdims=True), 1e-9)
+            packed = np.asarray(dual_topk(
+                qn0, self.dense.embeddings(), self.dense.size, qt, qv,
+                dvc["champ_docs"], dvc["champ_tf"], dvc["champ_valid"],
+                dvc["idf"], dvc["doc_len"], dvc["avg_len"],
+                k=kk, k1=self.lexical.k1, b=self.lexical.b))
+            ds, di = packed[0, 0], packed[1, 0].astype(np.int64)
+            bs, bi = packed[0, -1], packed[1, -1].astype(np.int64)
+            dense_ids = [int(i) for s, i in zip(ds, di)
+                         if i >= 0 and s > NEG_INF_HALF]
+            lex_scores = {int(i): float(s)
+                          for s, i in zip(bs, bi) if i >= 0 and s > 0.0}
+        else:
+            dres = self.dense.search(q, k=min(ck, max(self.dense.size, 1)))
+            dense_ids = [int(i) for i in dres.ids[0] if i >= 0]
+            lex_scores = {}
+            if self.lexical is not None and self.lexical.size > 0:
+                ls, li = self.lexical.search(query, k=ck)
+                lex_scores = {int(i): float(s)
+                              for s, i in zip(ls, li) if i >= 0}
 
         cand = sorted(set(dense_ids) | set(lex_scores))
         if not cand:
             return []
 
-        # Channel scores over the candidate union. Semantic scores are
-        # recomputed for the whole union in ONE batched gather+matvec (a
-        # per-candidate fallback would cost one device round trip each).
-        cand_emb = np.asarray(self.dense.get(np.asarray(cand, np.int64)),
-                              np.float32)
-        qn = np.asarray(q[0], np.float32)
-        qn = qn / max(np.linalg.norm(qn), 1e-9)
-        sem = (cand_emb @ qn).astype(np.float32)
-        kw = np.asarray([lex_scores.get(c, 0.0) for c in cand], np.float32)
+        # Fuse the candidate union in ONE dispatch: gather embeddings,
+        # exact semantic re-score, temporal decay, per-channel min-max,
+        # weighted blend, top-k (ops/hybrid.fuse_candidates). Candidate
+        # count is padded to a power of two to bound compiled shapes.
+        from optimized_rag_tpu.ops.hybrid import fuse_candidates
+        c_pad = 1 << (max(len(cand), top_k, 8) - 1).bit_length()
+        cand_ids = np.full(c_pad, -1, np.int32)
+        cand_ids[:len(cand)] = cand
+        cand_valid = cand_ids >= 0
+        kw = np.zeros(c_pad, np.float32)
+        kw[:len(cand)] = [lex_scores.get(c, 0.0) for c in cand]
+        ages = np.zeros(c_pad, np.float32)
         if self.get_created_at is not None:
             now = time.time()
-            ages = np.asarray([(now - self.get_created_at(c)) / 86400.0
-                               for c in cand], np.float32)
-            tmp = np.asarray(temporal_decay(jnp.asarray(ages),
-                                            self.half_life_days))
+            ages[:len(cand)] = [(now - self.get_created_at(c)) / 86400.0
+                                for c in cand]
+            w_tmp = weights.get("temporal", 0.10)
         else:
-            tmp = np.zeros(len(cand), np.float32)
-
-        stack = jnp.asarray(np.stack([sem, kw, tmp]))
-        w = jnp.asarray([weights.get("semantic", 0.55),
-                         weights.get("keyword", 0.35),
-                         weights.get("temporal", 0.10)], jnp.float32)
-        fused = np.asarray(weighted_fusion(stack, w))
-        order = np.argsort(-fused, kind="stable")[:top_k]
-        return [self._mk(cand[i], float(fused[i]), semantic=float(sem[i]),
-                         keyword=float(kw[i]), temporal=float(tmp[i]))
-                for i in order]
+            w_tmp = 0.0
+        w = np.asarray([weights.get("semantic", 0.55),
+                        weights.get("keyword", 0.35), w_tmp], np.float32)
+        qn = np.asarray(q[0], np.float32)
+        qn = qn / max(np.linalg.norm(qn), 1e-9)
+        packed = np.asarray(fuse_candidates(
+            qn, self.dense.embeddings(), cand_ids, cand_valid, kw, ages,
+            w, self.half_life_days, k=min(top_k, c_pad)))
+        fused, pos = packed[0], packed[1].astype(np.int64)
+        out = []
+        for col, (s, p) in enumerate(zip(fused, pos)):
+            if p < 0 or p >= len(cand):
+                continue
+            out.append(self._mk(cand[int(p)], float(s),
+                                semantic=float(packed[2, col]),
+                                keyword=float(packed[3, col]),
+                                temporal=float(packed[4, col])))
+        return out
 
     # ------------------------------------------------------------- helpers
 

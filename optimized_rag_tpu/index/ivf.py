@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optimized_rag_tpu.ops.kmeans import kmeans_fit
+from optimized_rag_tpu.ops.kmeans import kmeans_assign, kmeans_fit
 from optimized_rag_tpu.ops.similarity import normalize
 from optimized_rag_tpu.ops.topk import NEG_INF
 
@@ -57,7 +57,8 @@ def _ivf_search(q, centroids, sorted_emb, starts, counts, k: int,
         def per_query(qi, s0, s_real, cnt):
             block = jax.lax.dynamic_slice(
                 sorted_emb, (s0, 0), (window, sorted_emb.shape[1]))
-            s = jnp.dot(block, qi, preferred_element_type=jnp.float32,
+            s = jnp.dot(block.astype(jnp.float32), qi,
+                        preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)     # [window]
             pos = s0 + jax.lax.broadcasted_iota(jnp.int32, (window, 1),
                                                 0).squeeze(-1)
@@ -100,18 +101,26 @@ class IVFIndex:
         self._perm = None           # [N] slot -> original id (np.int64)
         self._window = 0
 
-    def build(self, embeddings, ids=None) -> None:
+    def build(self, embeddings, ids=None, storage_dtype=jnp.float32,
+              train_sample: int = 1 << 21) -> None:
         """Train centroids and lay out cluster-sorted storage.
 
         embeddings [N, D] (unnormalized ok); ids [N] original doc ids
-        (defaults to arange).
+        (defaults to arange). ``storage_dtype=jnp.bfloat16`` halves HBM
+        (mandatory at 10M x 128+ on a 16 GB chip). Centroids train on the
+        first ``train_sample`` rows (standard IVF practice — Lloyd on the
+        full corpus would also need a full float32 copy); assignment of
+        the full corpus is chunked.
         """
-        emb = normalize(jnp.asarray(embeddings)).astype(jnp.float32)
+        emb = normalize(jnp.asarray(embeddings)).astype(storage_dtype)
         n, d = emb.shape
         c = min(self.num_clusters, max(1, n // 4))
-        centroids, assign = kmeans_fit(emb, c, iters=self.kmeans_iters,
-                                       seed=self.seed)
-        assign = np.asarray(assign)
+        train = emb[: min(n, train_sample)].astype(jnp.float32)
+        centroids, _ = kmeans_fit(train, c, iters=self.kmeans_iters,
+                                  seed=self.seed)
+        del train
+        assign, _ = kmeans_assign(emb, centroids, chunk=1 << 20)
+        assign = np.asarray(assign)           # [n] int32 — small
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=c).astype(np.int32)
         starts = np.zeros(c, np.int32)
@@ -119,9 +128,12 @@ class IVFIndex:
         self._window = max(self.tile,
                            _round_up(int(counts.max() or 1), self.tile))
         npad = _round_up(n, self.tile) + self._window  # slack for clamping
-        sorted_emb = np.zeros((npad, d), np.float32)
-        sorted_emb[:n] = np.asarray(emb)[order]
-        self._sorted_emb = jnp.asarray(sorted_emb)
+        # Cluster-sort ON DEVICE: a host round trip of the full matrix
+        # (2x n*d floats) dwarfs everything else at 10M scale.
+        sorted_emb = jnp.take(emb, jnp.asarray(order), axis=0)
+        del emb
+        pad = jnp.zeros((npad - n, d), storage_dtype)
+        self._sorted_emb = jnp.concatenate([sorted_emb, pad], axis=0)
         self._centroids = centroids
         self._starts = jnp.asarray(starts)
         self._counts = jnp.asarray(counts)

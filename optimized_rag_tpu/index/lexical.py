@@ -147,7 +147,9 @@ class LexicalIndex:
         valid = np.zeros(max_terms, bool)
         q[:len(rows)] = rows
         valid[:len(rows)] = True
-        return jnp.asarray(q), jnp.asarray(valid)
+        # numpy (not device) arrays: callers pass them straight into jitted
+        # functions, keeping the upload inside one execute round trip.
+        return q, valid
 
     def search(self, text: str, k: int, max_terms: int = 32):
         """Returns (scores [k] np.f32, ids [k] np.int64); -1 = no match."""

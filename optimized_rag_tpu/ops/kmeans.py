@@ -17,29 +17,36 @@ import jax.numpy as jnp
 from optimized_rag_tpu.ops.similarity import normalize
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=())
+def _assign_chunk(pts: jax.Array, c_norm: jax.Array):
+    sims = jnp.dot(pts.astype(jnp.float32), c_norm.T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return (jnp.argmax(sims, axis=1).astype(jnp.int32),
+            jnp.max(sims, axis=1))
+
+
 def kmeans_assign(points: jax.Array, centroids: jax.Array,
                   chunk: int = 65536):
     """Assign each point to its nearest centroid (cosine / dot metric).
 
-    points [N, D] (normalized), centroids [C, D]. Returns
-    (assignment [N] int32, best_sim [N] f32). Chunked over N.
+    points [N, D] (normalized, any float dtype incl. bfloat16 storage),
+    centroids [C, D]. Returns (assignment [N] int32, best_sim [N] f32).
+    Host-chunked over N so only one chunk is ever cast to float32 at a
+    time — a full-matrix cast would double HBM use at 10M scale.
     """
-    n, d = points.shape
-    c = normalize(centroids).astype(jnp.float32)
-
-    def one_chunk(pts):
-        sims = jnp.dot(pts.astype(jnp.float32), c.T,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        return (jnp.argmax(sims, axis=1).astype(jnp.int32),
-                jnp.max(sims, axis=1))
-
-    if n % chunk == 0 and n > chunk:
-        pts3 = points.reshape(n // chunk, chunk, d)
-        a, s = jax.lax.map(one_chunk, pts3)
-        return a.reshape(n), s.reshape(n)
-    return one_chunk(points)
+    n, _ = points.shape
+    c_norm = normalize(centroids).astype(jnp.float32)
+    if n <= chunk:
+        return _assign_chunk(points, c_norm)
+    parts_a, parts_s = [], []
+    for lo in range(0, n, chunk):
+        size = min(chunk, n - lo)
+        a, s = _assign_chunk(
+            jax.lax.dynamic_slice_in_dim(points, lo, size, axis=0), c_norm)
+        parts_a.append(a)
+        parts_s.append(s)
+    return jnp.concatenate(parts_a), jnp.concatenate(parts_s)
 
 
 @functools.partial(jax.jit, static_argnames=("num_clusters", "iters"))
@@ -64,7 +71,8 @@ def kmeans_fit(points: jax.Array, num_clusters: int, iters: int = 12,
 
     def lloyd(carry, _):
         cents, key = carry
-        assign, best = kmeans_assign(pts, cents)
+        assign, best = _assign_chunk(pts, normalize(cents).astype(
+            jnp.float32))
         assign = jnp.where(valid, assign, num_clusters)  # park invalid rows
         w = valid.astype(jnp.float32)
         sums = jnp.zeros((num_clusters + 1, d), jnp.float32).at[assign].add(
@@ -81,6 +89,6 @@ def kmeans_fit(points: jax.Array, num_clusters: int, iters: int = 12,
 
     (centroids, _), _ = jax.lax.scan(lloyd, (centroids, key), None,
                                      length=iters)
-    assign, _ = kmeans_assign(pts, centroids)
+    assign, _ = _assign_chunk(pts, centroids)
     assign = jnp.where(valid, assign, 0)
     return centroids, assign
