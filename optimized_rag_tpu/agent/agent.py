@@ -258,9 +258,11 @@ class RAGAgent:
 
     # ---------------------------------------------------------------- warmup
 
-    def warmup(self) -> float:
+    def warmup(self, deep: bool = False) -> float:
         """Precompile the hot shapes (encoder buckets, top-k, rerank) so
-        the first real chat turn is not compile-bound. Returns seconds."""
+        the first real chat turn is not compile-bound. ``deep`` also warms
+        the verification-stage shapes (claim batch cosine, pairwise
+        consistency). Returns seconds."""
         t0 = time.time()
         probe = ["warmup probe text one", "warmup probe text two"]
         self.embed_fn(probe)
@@ -271,6 +273,17 @@ class RAGAgent:
                 self.lexical.search("warmup query", k=5)
         if self.cross_encoder is not None:
             self.cross_encoder.score_pairs("warmup", ["warmup doc"])
+        if deep:
+            from optimized_rag_tpu.engine.types import RetrievedDoc
+            docs = [RetrievedDoc(doc_id=-1, score=0.5,
+                                 text=f"warmup doc {i}") for i in range(5)]
+            self.selfrag.evaluate_retrieval("warmup query", docs)
+            if self.ensemble is not None:
+                for n in (1, 3, 10):
+                    self.ensemble.verify_claims(
+                        [f"warmup claim {i}" for i in range(n)],
+                        "warmup evidence text")
+            self.consistency.check_consistency(docs)
         return time.time() - t0
 
     # ------------------------------------------------------------------ chat

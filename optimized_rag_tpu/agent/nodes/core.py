@@ -321,11 +321,16 @@ def verify_response(state: AgentState, agent) -> None:
     claims = state.claims or [
         {"claim": s, "supported": None}
         for s in split_sentences(state.response)[:10]]
+    # Pass 1 for any not-yet-verified claims, batched (one embedding
+    # dispatch for all of them).
+    pending = [c for c in claims if c.get("supported") is None]
+    if pending and agent.ensemble is not None:
+        verdicts = agent.ensemble.verify_claims(
+            [c["claim"] for c in pending], evidence)
+        for c, v in zip(pending, verdicts):
+            c["supported"] = v["supported"]
     for c in claims:
         pass1 = c.get("supported")
-        if pass1 is None and agent.ensemble is not None:
-            pass1 = agent.ensemble.verify_claim(c["claim"],
-                                                evidence)["supported"]
         pass2 = exact_match_verify(
             c["claim"], evidence,
             agent.settings.verification.exact_match_term_ratio)

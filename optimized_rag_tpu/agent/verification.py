@@ -101,9 +101,28 @@ class EnsembleVerifier:
         return sim >= self.embedding_threshold, max(min(sim, 1.0), 0.0)
 
     def verify_claim(self, claim: str, evidence: str) -> Dict:
+        emb_ok, emb_conf = self._embedding_verify(claim, evidence)
+        return self._combine(claim, evidence, emb_ok, emb_conf)
+
+    def verify_claims(self, claims: List[str], evidence: str) -> List[Dict]:
+        """Batch verification: ONE embedding dispatch for every claim +
+        the evidence (per-claim dispatches each pay a device round trip;
+        the reference pays an OpenAI RPC per claim instead,
+        ensemble_verifier.py:237)."""
+        if not claims:
+            return []
+        embs = np.atleast_2d(self.embed_fn(claims + [evidence[:2000]]))
+        sims = np.asarray(cosine_matrix(jnp.asarray(embs[:-1]),
+                                        jnp.asarray(embs[-1:])))[:, 0]
+        return [
+            self._combine(c, evidence, bool(s >= self.embedding_threshold),
+                          float(np.clip(s, 0.0, 1.0)))
+            for c, s in zip(claims, sims)]
+
+    def _combine(self, claim: str, evidence: str, emb_ok: bool,
+                 emb_conf: float) -> Dict:
         llm_ok, llm_conf = self._llm_verify(claim, evidence)
         kw_ok, kw_conf = self._keyword_verify(claim, evidence)
-        emb_ok, emb_conf = self._embedding_verify(claim, evidence)
         votes = [(llm_ok, llm_conf), (kw_ok, kw_conf), (emb_ok, emb_conf)]
         w = self.weights
         weighted = sum(wi * (1.0 if ok else 0.0)
@@ -173,17 +192,21 @@ class SelfRAGEvaluator:
         """Multi-granularity verification (reference :270-423)."""
         claims = self.extract_claims(query, answer)
         evidence = "\n".join(d.text for d in docs)[:6000]
-        results = []
-        for claim in claims:
-            if self.ensemble is not None:
-                res = self.ensemble.verify_claim(claim, evidence)
-            else:
+        if self.ensemble is not None:
+            # Batched: one embedding dispatch covers every claim.
+            verdicts = self.ensemble.verify_claims(claims, evidence)
+            results = [{"claim": c, **v} for c, v in zip(claims, verdicts)]
+        else:
+            results = []
+            for claim in claims:
                 kw = set(lexical_tokens(claim)) & set(
                     lexical_tokens(evidence))
-                res = {"supported":
-                       len(kw) / max(len(set(lexical_tokens(claim))), 1)
-                       >= 0.4, "confidence": 0.5}
-            results.append({"claim": claim, **res})
+                results.append({
+                    "claim": claim,
+                    "supported":
+                        len(kw) / max(len(set(lexical_tokens(claim))), 1)
+                        >= 0.4,
+                    "confidence": 0.5})
         supported = sum(r["supported"] for r in results)
         support_ratio = supported / len(results) if results else 1.0
         sents = split_sentences(answer)
