@@ -1,0 +1,98 @@
+"""End-to-end proof the training stack improves retrieval.
+
+Trains the BiEncoder with in-batch-negative InfoNCE on synthetic
+(query, doc) pairs and shows recall@5 through the REAL retrieval engine
+improves over the random-init encoder — the full loop the reference
+cannot do at all (its embedder is a frozen external API).
+"""
+
+import jax
+import numpy as np
+
+from optimized_rag_tpu.eval.synthetic import evaluate_retriever, make_dataset
+from optimized_rag_tpu.index.dense import DenseIndex
+from optimized_rag_tpu.models.encoder import (
+    EmbeddingService, TransformerConfig)
+from optimized_rag_tpu.models.training import BiEncoderTrainer
+from optimized_rag_tpu.models.tokenizer import HashTokenizer
+from optimized_rag_tpu.parallel.mesh import make_mesh
+
+CFG = TransformerConfig(vocab_size=2048, hidden_dim=64, num_layers=2,
+                        num_heads=4, mlp_dim=128, max_seq_len=64,
+                        out_dim=32)
+
+
+def _recall(params, ds):
+    svc = EmbeddingService(CFG, params=params, max_len=32)
+    idx = DenseIndex(dim=CFG.out_dim, capacity_block=512, tile=256)
+    idx.add(svc.encode(ds.texts))
+
+    def retrieve(q, k):
+        res = idx.search(svc.encode([q]), k=k)
+        return [int(i) for i in res.ids[0] if i >= 0]
+
+    return evaluate_retriever(retrieve, ds, k=5)["recall@5"]
+
+
+def test_contrastive_training_improves_retrieval(rng):
+    ds = make_dataset(num_docs=160, num_topics=8, num_queries=24,
+                      doc_words=16, query_words=6, vocab_per_topic=30,
+                      shared_vocab=50, seed=7)
+    mesh = make_mesh(data=8, model=1)
+    trainer = BiEncoderTrainer(CFG, mesh, learning_rate=1e-3,
+                               temperature=0.2, seed=0)
+    before = _recall(jax.device_get(trainer.params), ds)
+
+    # Training pairs: (topic query, topic doc). One pair per DISTINCT
+    # topic per batch — in-batch negatives must be true negatives.
+    tok = HashTokenizer(CFG.vocab_size, 32)
+    topic_docs = {t: np.nonzero(ds.doc_topics == t)[0] for t in range(8)}
+    losses = []
+    for step in range(60):
+        queries, docs = [], []
+        for t in rng.permutation(8):
+            d = int(rng.choice(topic_docs[t]))
+            docs.append(ds.texts[d])
+            queries.append(" ".join(rng.choice(ds.texts[d].split(), 4)))
+        q_ids, q_mask = tok.encode_batch(queries, 32, pad_to_multiple=32)
+        d_ids, d_mask = tok.encode_batch(docs, 32, pad_to_multiple=32)
+        losses.append(trainer.train_step(q_ids, q_mask, d_ids, d_mask))
+
+    after = _recall(jax.device_get(trainer.params), ds)
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses[::10]
+    assert after > before, (before, after)
+
+
+def test_store_thread_safety():
+    """Concurrent writers/readers on one MetadataStore (the reference's
+    equivalent risk surface is its psycopg2 pool, connection.py:38)."""
+    import threading
+    from optimized_rag_tpu.store.db import MetadataStore
+    store = MetadataStore(":memory:")
+    errors = []
+
+    def writer(tid):
+        try:
+            for i in range(50):
+                store.save_message("agent", "user", f"msg {tid}-{i}")
+                store.update_daily_metric("agent", "writes", 1)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def reader():
+        try:
+            for _ in range(50):
+                store.get_recent_messages("agent", 5)
+                store.get_daily_metrics("agent")
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    threads += [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert store.get_daily_metrics("agent")["writes"] == 200
+    assert len(store.get_recent_messages("agent", 500)) == 200
