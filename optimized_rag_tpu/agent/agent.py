@@ -256,6 +256,45 @@ class RAGAgent:
         g.add_edge("update_memory", END)
         return g.compile()
 
+    # ------------------------------------------------------------ snapshots
+
+    def save_indexes(self, directory: Optional[str] = None) -> str:
+        """Persist dense/lexical/archival index state (the SQLite store is
+        already durable; the device-side indexes must snapshot separately —
+        index/snapshot.py)."""
+        import os
+        from optimized_rag_tpu.index import snapshot
+        directory = directory or os.path.join(self.settings.data_dir,
+                                              "indexes")
+        snapshot.save_state(directory, "dense", self.dense.state_dict())
+        snapshot.save_state(directory, "lexical", self.lexical.state_dict())
+        snapshot.save_state(directory, "archival",
+                            self.memory.archival.state_dict())
+        return directory
+
+    def load_indexes(self, directory: Optional[str] = None) -> bool:
+        """Restore index state saved by save_indexes. Returns False when no
+        snapshot exists (fresh agent)."""
+        import os
+        from optimized_rag_tpu.index import snapshot
+        from optimized_rag_tpu.index.dense import DenseIndex
+        from optimized_rag_tpu.index.lexical import LexicalIndex
+        directory = directory or os.path.join(self.settings.data_dir,
+                                              "indexes")
+        if not snapshot.exists(directory, "dense"):
+            return False
+        self.dense = DenseIndex.from_state_dict(
+            snapshot.load_state(directory, "dense"))
+        self.lexical = LexicalIndex.from_state_dict(
+            snapshot.load_state(directory, "lexical"))
+        if snapshot.exists(directory, "archival"):
+            self.memory.archival = DenseIndex.from_state_dict(
+                snapshot.load_state(directory, "archival"))
+        # Rebind components that captured the old index objects.
+        self.retriever.dense = self.dense
+        self.retriever.lexical = self.lexical
+        return True
+
     # ---------------------------------------------------------------- warmup
 
     def warmup(self, deep: bool = False) -> float:

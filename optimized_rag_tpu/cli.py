@@ -35,7 +35,9 @@ def build_agent(settings: Settings, offline: bool = True):
     if llm is None:
         llm = DeterministicLLM()
     store = MetadataStore(os.path.join(settings.data_dir, "metadata.db"))
-    return RAGAgent(settings, llm=llm, store=store)
+    agent = RAGAgent(settings, llm=llm, store=store)
+    agent.load_indexes()  # restore device-side indexes if snapshotted
+    return agent
 
 
 def cmd_chat(args) -> int:
@@ -89,7 +91,9 @@ def cmd_ingest(args) -> int:
                       f"{r['kg_triples']} triples, {r['seconds']:.2f}s")
             else:
                 print(f"ERR {r.get('path', '')}: {r.get('error')}")
-    print(f"total: {total_chunks} chunks; corpus size {agent.dense.size}")
+    path = agent.save_indexes()
+    print(f"total: {total_chunks} chunks; corpus size {agent.dense.size}; "
+          f"index snapshot -> {path}")
     return 0
 
 

@@ -16,9 +16,13 @@ from fakes import FakeEmbedder
 @pytest.fixture
 def fast_agent_factory(tmp_path, monkeypatch):
     def factory(settings, offline=True):
+        from optimized_rag_tpu.store.db import MetadataStore
         settings.data_dir = str(tmp_path / "data")
-        return RAGAgent(settings, llm=DeterministicLLM(),
-                        embed_service=FakeEmbedder(dim=32))
+        store = MetadataStore(os.path.join(settings.data_dir, "metadata.db"))
+        agent = RAGAgent(settings, llm=DeterministicLLM(),
+                         embed_service=FakeEmbedder(dim=32), store=store)
+        agent.load_indexes()   # mirror cli.build_agent restart behavior
+        return agent
     monkeypatch.setattr(cli, "build_agent", factory)
     monkeypatch.setenv("ORAG_DATA_DIR", str(tmp_path / "data"))
     return factory
@@ -59,3 +63,20 @@ def test_cli_chat_scripted(fast_agent_factory, capsys, monkeypatch):
     assert "Assistant:" in out
     assert "<persona>" in out          # memory command
     assert "rerank:" in out            # stats command
+
+
+def test_ingest_then_restart_then_chat(tmp_path, fast_agent_factory,
+                                       capsys, monkeypatch):
+    """Index state must survive a process restart (snapshot + reload)."""
+    doc = tmp_path / "doc.md"
+    doc.write_text("The MXU is a 128x128 systolic array that multiplies "
+                   "matrices in bfloat16.")
+    assert cli.main(["ingest", str(doc)]) == 0
+    assert "index snapshot" in capsys.readouterr().out
+    # "restart": fresh agent via the same factory + data_dir
+    inputs = iter(["What is the MXU systolic array?", "exit"])
+    monkeypatch.setattr("builtins.input", lambda *a: next(inputs))
+    assert cli.main(["chat"]) == 0
+    out = capsys.readouterr().out
+    assert "systolic" in out.lower()
+    assert "128x128" in out
