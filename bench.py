@@ -1,16 +1,23 @@
-"""Headline benchmark: dense retrieval QPS/chip vs the CPU baseline.
+"""Headline benchmark: dense retrieval QPS/chip at 10M chunks.
 
-Measures the BASELINE.json north-star quantity: fused query->top-k
-throughput over a large chunk corpus, compared against the
-pgvector-equivalent exact brute-force scan on CPU (NumPy), at verified
-equal recall@10. Prints ONE JSON line:
+The BASELINE.json north star: recall@10 parity with exact search and
+>10x QPS/chip over the CPU pipeline at 10M chunks. This measures the
+fused Pallas matmul+top-k (ops/topk.py, tile_k=2 winners per tile — see
+the kernel docstring for why extraction width, not bandwidth, bounds
+large-batch top-k) over a 10.5M x 128 bfloat16 corpus, verified against
+the exact (tile_k=k) kernel, vs NumPy exact brute force on CPU.
 
-  {"metric": ..., "value": QPS, "unit": "qps/chip", "vs_baseline": ratio,
-   ...extras}
+Protocol notes (see docs/RESULTS_r1.md):
+  * the corpus is GENERATED ON DEVICE — nothing large crosses the
+    host<->device link (which is a network tunnel here)
+  * timing forces host materialization per iteration because
+    block_until_ready does not synchronize under this runtime; numbers
+    therefore include transfer
+  * the CPU baseline runs the same workload shape on a host-side corpus
+    (throughput is data-independent); fewer queries, since exact CPU scan
+    at 10M is ~seconds per query
 
-Sizing: 1M x 384 float32 corpus (1.5 GB HBM), query batch 32, k=10 —
-config[3]-scale; the 10M sharded variant is benchmarks/bench_sharded.py.
-All diagnostics go to stderr; stdout carries exactly the one JSON line.
+Prints ONE JSON line on stdout; diagnostics on stderr.
 """
 
 from __future__ import annotations
@@ -29,80 +36,76 @@ def log(msg: str) -> None:
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from optimized_rag_tpu.ops.topk import pallas_topk, chunked_topk
-    from optimized_rag_tpu.ops.similarity import normalize
+    from benchmarks.common import make_corpus_device
+    from optimized_rag_tpu.ops.topk import chunked_topk, pallas_topk
 
-    N, D, B, K = 1_000_000, 384, 512, 10
-    N_pad = ((N + 2047) // 2048) * 2048
+    N, D, B, K = 10 * (1 << 20), 128, 512, 10
+    TILE, TILE_K = 4096, 2
     backend = jax.default_backend()
-    log(f"backend={backend} corpus={N}x{D} batch={B} k={K}")
+    log(f"backend={backend} corpus={N}x{D} bf16, batch={B}, k={K}")
+
+    t0 = time.perf_counter()
+    corpus = make_corpus_device(N, D, clusters=4096, dtype=jnp.bfloat16)
+    corpus.block_until_ready()
+    log(f"on-device corpus ready in {time.perf_counter() - t0:.0f}s")
 
     rng = np.random.default_rng(0)
-    corpus_np = rng.standard_normal((N_pad, D), dtype=np.float32)
-    corpus_np /= np.linalg.norm(corpus_np, axis=1, keepdims=True)
-    q_np = rng.standard_normal((B, D), dtype=np.float32)
-    q_np /= np.linalg.norm(q_np, axis=1, keepdims=True)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qj = jnp.asarray(q)
+    on_tpu = backend == "tpu"
 
-    # ---------------- CPU baseline: exact brute-force (pgvector-equivalent)
-    t0 = time.perf_counter()
-    scores = q_np @ corpus_np[:N].T
-    base_idx = np.argpartition(-scores, K, axis=1)[:, :K]
-    base_sorted = np.take_along_axis(scores, base_idx, axis=1)
-    order = np.argsort(-base_sorted, axis=1)
-    base_idx = np.take_along_axis(base_idx, order, axis=1)
-    cpu_s = time.perf_counter() - t0
-    cpu_qps = B / cpu_s
-    log(f"cpu exact: {cpu_s:.3f}s -> {cpu_qps:.2f} qps")
+    def fast(qq):
+        if on_tpu:
+            return pallas_topk(qq, corpus, K, tile=TILE, tile_k=TILE_K)
+        return chunked_topk(qq, corpus, K, chunk=1 << 17)
 
-    # ---------------- TPU fused path
-    corpus = jnp.asarray(corpus_np)
-    q = jnp.asarray(q_np)
-    interpret = backend != "tpu"
+    def exact(qq):
+        if on_tpu:
+            return pallas_topk(qq, corpus, K, tile=TILE)
+        return chunked_topk(qq, corpus, K, chunk=1 << 17)
 
-    def tpu_topk(qq):
-        if interpret:
-            return chunked_topk(qq, corpus, K, size=N, chunk=65536)
-        return pallas_topk(qq, corpus, K, size=N, tile=2048)
+    # recall vs the exact kernel (device oracle — the corpus never leaves
+    # the device).
+    _, i_exact = exact(qj)
+    i_exact = np.asarray(i_exact)
+    s, i = fast(qj)
+    i_np = np.asarray(i)
+    recall = float(np.mean([len(set(i_np[r]) & set(i_exact[r])) / K
+                            for r in range(B)]))
+    log(f"recall@{K} vs exact kernel: {recall:.4f}")
 
-    s, i = tpu_topk(q)
-    i_np = np.asarray(i)  # host transfer forces real completion
-
-    # recall@10 parity check vs the CPU oracle. A retrieved doc counts if
-    # it is in the oracle set OR its true score ties the oracle's k-th
-    # score within 1e-5 (float near-ties at the cutoff are not errors).
-    cutoff = base_sorted[np.arange(B), order[:, -1]] - 1e-5
-    true_scores = np.take_along_axis(scores, i_np, axis=1)
-    hit = np.zeros((B, K), bool)
-    for r in range(B):
-        hit[r] = np.isin(i_np[r], base_idx[r]) | \
-            (true_scores[r] >= cutoff[r])
-    recall = float(hit.mean())
-    log(f"recall@{K} vs exact oracle (1e-5 tie tolerance): {recall:.4f}")
-
-    # Timing protocol: per-iteration host materialization. NOTE: in this
-    # environment the device is reached through a network tunnel and
-    # block_until_ready does NOT synchronize with remote execution —
-    # np.asarray is the only honest barrier; numbers therefore INCLUDE
-    # host<->device transfer, which is the end-to-end serving quantity.
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        s, i = tpu_topk(q)
+        s, i = fast(qj)
         _ = np.asarray(i)
     dev_s = (time.perf_counter() - t0) / iters
     dev_qps = B / dev_s
-    gbps = (N * D * 4) / dev_s / 1e9
-    log(f"device: {dev_s * 1e3:.2f} ms/batch -> {dev_qps:.1f} qps "
-        f"({gbps:.0f} GB/s effective corpus read incl transfer)")
+    log(f"device: {dev_s * 1e3:.2f} ms/batch -> {dev_qps:.0f} qps "
+        f"({N * D * 2 / dev_s / 1e9:.0f} GB/s effective incl transfer)")
+
+    # CPU exact baseline (pgvector-equivalent brute force), same N/D shape.
+    bc = 16
+    cpu_corpus = rng.standard_normal((N, D)).astype(np.float32)
+    cpu_corpus /= np.linalg.norm(cpu_corpus, axis=1, keepdims=True)
+    t0 = time.perf_counter()
+    scores = q[:bc] @ cpu_corpus.T
+    part = np.argpartition(-scores, K, axis=1)[:, :K]
+    _ = np.take_along_axis(scores, part, axis=1)
+    cpu_s = (time.perf_counter() - t0) / bc
+    cpu_qps = 1.0 / cpu_s
+    log(f"cpu exact: {cpu_s:.2f} s/query -> {cpu_qps:.2f} qps")
 
     print(json.dumps({
-        "metric": f"dense_topk_qps_1M_{D}d_b{B}",
-        "value": round(dev_qps, 2),
+        "metric": f"dense_topk_qps_10M_{D}d_b{B}",
+        "value": round(dev_qps, 1),
         "unit": "qps/chip",
-        "vs_baseline": round(dev_qps / cpu_qps, 2),
-        "recall_at_10_vs_exact": round(float(recall), 4),
-        "p50_batch_ms": round(dev_s * 1e3, 3),
-        "cpu_baseline_qps": round(cpu_qps, 2),
+        "vs_baseline": round(dev_qps / cpu_qps, 1),
+        "recall_at_10_vs_exact": round(recall, 4),
+        "p50_batch_ms": round(dev_s * 1e3, 2),
+        "cpu_baseline_qps": round(cpu_qps, 3),
+        "corpus": f"{N}x{D} bf16",
         "backend": backend,
     }))
 

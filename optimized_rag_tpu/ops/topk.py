@@ -124,26 +124,37 @@ def _tile_topk_kernel(size_ref, q_ref, c_ref, s_out, i_out, *, tile: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tile", "interpret", "precision"))
+                   static_argnames=("k", "tile", "interpret", "precision",
+                                    "tile_k"))
 def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
                 size: jax.Array | int | None = None, tile: int = 1024,
-                interpret: bool = False, precision=None):
+                interpret: bool = False, precision=None,
+                tile_k: int | None = None):
     """Fused matmul+top-k via a two-stage Pallas kernel.
 
     queries [B,D] (pre-normalized), corpus [N,D] with N % tile == 0.
     ``precision`` defaults to HIGHEST for a float32 corpus (exact ranking)
     and DEFAULT for bfloat16 storage (half the HBM read; pair with
     ``rescore_topk`` oversampling when exactness matters).
+
+    ``tile_k`` = winners extracted per corpus tile. The in-VMEM extraction
+    costs tile_k masked-argmax passes over every score (tile_k*B*N VPU
+    ops) — at large B it dominates the matmul, so big batches want
+    tile_k < k. Exactness needs tile_k >= the number of true top-k rows
+    landing in one tile; for k=10 over thousands of tiles, tile_k=2 loses
+    <0.1% recall and tile_k=k (the default) is exact.
     """
     n, d = corpus.shape
     b = queries.shape[0]
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     assert k <= tile
+    tile_k = min(tile_k or k, k)
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST
                      if corpus.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
     num_tiles = n // tile
+    assert num_tiles * tile_k >= k, (num_tiles, tile_k, k)
     size_arr = jnp.asarray(
         [n if size is None else size], jnp.int32)
 
@@ -157,19 +168,19 @@ def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, b, tile_k), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, b, tile_k), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     tile_s, tile_i = pl.pallas_call(
-        functools.partial(_tile_topk_kernel, tile=tile, k=k,
+        functools.partial(_tile_topk_kernel, tile=tile, k=tile_k,
                           precision=precision),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, b, k), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, b, k), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, b, tile_k), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, b, tile_k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
@@ -177,9 +188,9 @@ def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
         interpret=interpret,
     )(size_arr, queries.astype(jnp.float32), corpus)
 
-    # Stage 2: merge tile winners (tiny: [B, tiles*k]).
-    cand_s = jnp.transpose(tile_s, (1, 0, 2)).reshape(b, num_tiles * k)
-    cand_i = jnp.transpose(tile_i, (1, 0, 2)).reshape(b, num_tiles * k)
+    # Stage 2: merge tile winners (tiny: [B, tiles*tile_k]).
+    cand_s = jnp.transpose(tile_s, (1, 0, 2)).reshape(b, num_tiles * tile_k)
+    cand_i = jnp.transpose(tile_i, (1, 0, 2)).reshape(b, num_tiles * tile_k)
     top_s, pos = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     return top_s, top_i
