@@ -34,6 +34,30 @@ except ImportError:  # pragma: no cover
         return difflib.SequenceMatcher(None, a, b).ratio()
 
 
+_PT_WORDS = frozenset(
+    "que não com uma para você como mais seu sua são dos das pelo pela "
+    "também já muito quando então".split())
+_ES_WORDS = frozenset(
+    "que los las una para con por como más pero sus este esta son muy "
+    "cuando entonces".split())
+_EN_WORDS = frozenset(
+    "the and that with for this have from are was were been they "
+    "which their there".split())
+
+
+def detect_language(text: str) -> str:
+    """Coarse language tag (en/pt/es/other) from stopword hits — the
+    reference uses langdetect (rag/data_wrangler.py), absent here; this
+    covers its bilingual EN/PT usage."""
+    words = set(w.lower() for w in text.split()[:300])
+    scores = {"en": len(words & _EN_WORDS), "pt": len(words & _PT_WORDS),
+              "es": len(words & _ES_WORDS)}
+    best = max(scores, key=scores.get)
+    if scores[best] == 0:
+        return "en" if text.isascii() else "other"
+    return best
+
+
 class TextCleaner:
     _WS = re.compile(r"[ \t]+")
     _NL = re.compile(r"\n{3,}")
@@ -145,10 +169,12 @@ class DataWrangler:
         clean = self.cleaner.clean(text)
         structure = self.extractor.extract(clean)
         quality = self.scorer.score(clean)
+        meta = dict(metadata or {})
+        meta.setdefault("language", detect_language(clean))
         return {
             "content": clean,
             "structure": structure,
             "quality_score": quality,
             "accepted": quality >= self.min_quality,
-            "metadata": dict(metadata or {}),
+            "metadata": meta,
         }

@@ -44,7 +44,9 @@ def sharded_topk(queries: jax.Array, corpus: jax.Array, k: int, *,
         size = sizes_local[0]
         kk = min(k, shard_rows)
         if impl == "pallas":
-            s, i = pallas_topk(q, c, kk, size=size, tile=tile,
+            # tile_k=2 is safe at shard scale (tiles >> k per shard).
+            tk = 2 if shard_rows // tile >= 8 * kk else None
+            s, i = pallas_topk(q, c, kk, size=size, tile=tile, tile_k=tk,
                                interpret=jax.default_backend() != "tpu")
         elif impl == "chunked":
             s, i = chunked_topk(q, c, kk, size=size, chunk=chunk)

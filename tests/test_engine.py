@@ -381,3 +381,17 @@ def test_cost_savings_report():
     rep = t.get_cost_savings_report()
     assert rep["api_cost_avoided_usd"] > 0
     assert rep["net_savings_usd"] == rep["api_cost_avoided_usd"]
+
+
+def test_language_detection():
+    from optimized_rag_tpu.engine.wrangler import detect_language
+    assert detect_language("the cat and the dog are in the house") == "en"
+    assert detect_language("você não sabe que isso é muito bom para mim") == "pt"
+    assert detect_language("los gatos son muy bonitos pero este perro") == "es"
+
+
+def test_wrangler_adds_language_metadata():
+    from optimized_rag_tpu.engine.wrangler import DataWrangler
+    out = DataWrangler().process("the quick brown fox and the lazy dog "
+                                 "that they were with")
+    assert out["metadata"]["language"] == "en"
