@@ -119,7 +119,12 @@ def retrieve_rag(state: AgentState, agent) -> None:
         weights = agent.weight_manager.calculate_optimal_weights(
             query, getattr(state.query_intent, "value", None))
         state.retrieval_weights = weights
-    strategy_k = agent.settings.retrieval.top_k
+    # Per-intent retrieval depth (reference intent_recognizer.py:168-223:
+    # top_k 2-12 by intent); settings default when intent is unknown.
+    from optimized_rag_tpu.engine.types import retrieval_strategy
+    strategy_k = (retrieval_strategy(state.query_intent)["top_k"]
+                  if state.query_intent is not None
+                  else agent.settings.retrieval.top_k)
     if agent.hierarchical is not None:
         docs, info = agent.hierarchical.retrieve(
             query, top_k=strategy_k, intent=state.query_intent,
@@ -232,6 +237,19 @@ def generate_response(state: AgentState, agent) -> None:
         state.factuality_level = "poor"
         return
     context = _format_context(docs)
+    # Recent conversation, truncated to its token budget (reference
+    # assembles conversation into context, utils/context.py budget).
+    if state.recent_messages:
+        from optimized_rag_tpu.utils.tokens import (
+            token_budget, truncate_conversation)
+        budget = token_budget(agent.settings.context.max_context_tokens,
+                              agent.settings.context.allocation)
+        recent = truncate_conversation(state.recent_messages[-8:],
+                                       budget["conversation"], keep_first=0)
+        if recent:
+            convo = "\n".join(f"{m['role']}: {m['content'][:300]}"
+                              for m in recent)
+            context += f"\n[Conversation]\n{convo}"
     if state.kg_context:
         context += f"\n[KG]\n{state.kg_context}"
     if state.cot_reasoning:
