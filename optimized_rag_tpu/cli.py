@@ -99,12 +99,14 @@ def cmd_ingest(args) -> int:
 
 def cmd_info(args) -> int:
     import jax
+    from optimized_rag_tpu.utils.health import check_device_health
     settings = Settings.from_env()
     print(f"backend: {jax.default_backend()}")
     print(f"devices: {jax.devices()}")
     print(f"data_dir: {settings.data_dir}")
     print(f"encoder: dim={settings.encoder.dim} "
           f"layers={settings.encoder.num_layers}")
+    print(f"health: {check_device_health(timeout_s=90)}")
     return 0
 
 

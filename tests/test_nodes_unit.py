@@ -1,0 +1,192 @@
+"""Per-node unit tests for the 16 workflow node bodies."""
+
+import numpy as np
+import pytest
+
+from optimized_rag_tpu.agent.agent import RAGAgent
+from optimized_rag_tpu.agent.llm import DeterministicLLM
+from optimized_rag_tpu.agent.nodes import core
+from optimized_rag_tpu.agent.state import AgentState
+from optimized_rag_tpu.agent.web import WebSearchTool
+from optimized_rag_tpu.config import Settings
+from optimized_rag_tpu.engine.types import Intent, RetrievedDoc, Source
+from optimized_rag_tpu.utils.health import check_device_health
+
+from fakes import FakeEmbedder
+
+
+@pytest.fixture
+def agent():
+    a = RAGAgent(Settings(), llm=DeterministicLLM(),
+                 embed_service=FakeEmbedder(dim=32),
+                 web=WebSearchTool(search_fn=lambda q, n: []))
+    a.ingestor.ingest_text(
+        "The MXU multiplies matrices. It is a 128x128 systolic array.")
+    return a
+
+
+def _state(**kw):
+    return AgentState(user_input=kw.pop("q", "what is the MXU?"), **kw)
+
+
+def test_receive_input_increments(agent):
+    st = _state()
+    core.receive_input(st, agent)
+    core.receive_input(st, agent)
+    assert st.iteration == 2
+
+
+def test_recognize_intent_sets_fields(agent):
+    st = _state()
+    core.recognize_intent(st, agent)
+    assert st.query_intent == Intent.QUESTION_ANSWERING
+    assert st.intent_confidence > 0
+
+
+def test_rewrite_query_translation_path(agent):
+    st = _state(q="qual é a função do MXU você sabe?")
+    core.rewrite_query(st, agent)
+    assert st.language == "non-en"
+    assert st.translated_input
+
+
+def test_retrieve_memory_populates(agent):
+    agent.memory.save_message("user", "hi")
+    agent.memory.archival_memory_insert("the user likes matrices")
+    st = _state()
+    core.retrieve_memory(st, agent)
+    assert st.recent_messages and st.core_memory
+    assert st.archival_memories
+
+
+def test_route_query_and_recall_bypass(agent):
+    st = _state()
+    core.route_query(st, agent)
+    assert st.needs_document_retrieval
+    st2 = _state(recall_bypass=True)
+    core.route_query(st2, agent)
+    assert not st2.needs_document_retrieval
+
+
+def test_check_context_counts_tokens(agent):
+    st = _state()
+    core.check_context(st, agent)
+    assert st.context_tokens > 0
+
+
+def test_retrieve_rag_recall_bypass_uses_conversation(agent):
+    agent.memory.save_message("user", "earlier question about MXU")
+    st = _state(recall_bypass=True)
+    st.recent_messages = agent.memory.get_recent_messages(5)
+    core.route_query(st, agent)
+    core.retrieve_rag(st, agent)
+    assert all(d.source == Source.CONVERSATION for d in st.rag_context)
+
+
+def test_rerank_and_eval_empty_context_noop(agent):
+    st = _state()
+    core.rerank_and_eval(st, agent)
+    assert st.relevance_score == 0.0
+
+
+def test_chain_of_thought_writes_reasoning(agent):
+    st = _state()
+    st.rag_context = [RetrievedDoc(doc_id=0, score=0.9, text="MXU doc")]
+    core.chain_of_thought(st, agent)
+    assert st.cot_reasoning
+
+
+def test_synthesize_requires_intent_and_docs(agent):
+    st = _state()
+    st.query_intent = Intent.COMPARISON
+    st.rag_context = [RetrievedDoc(doc_id=i, score=0.9, text=f"d{i}")
+                      for i in range(3)]
+    core.synthesize_multi_doc(st, agent)
+    assert st.synthesized_context
+    st2 = _state()
+    st2.query_intent = Intent.CONVERSATIONAL
+    st2.rag_context = st.rag_context
+    core.synthesize_multi_doc(st2, agent)
+    assert not st2.synthesized_context
+
+
+def test_generate_response_empty_context_refuses(agent):
+    st = _state()
+    core.generate_response(st, agent)
+    assert st.refused and st.factuality_level == "poor"
+
+
+def test_generate_response_with_context_cites(agent):
+    st = _state()
+    st.query_intent = Intent.QUESTION_ANSWERING
+    st.rag_context = [RetrievedDoc(
+        doc_id=0, score=0.9,
+        text="The MXU is a 128x128 systolic array.")]
+    core.generate_response(st, agent)
+    assert st.citations and not st.refused
+    assert st.support_ratio > 0.5
+
+
+def test_verify_response_passes_supported_claims(agent):
+    st = _state()
+    st.response = "The MXU is a systolic array [1]."
+    st.rag_context = [RetrievedDoc(doc_id=0, score=0.9,
+                                   text="the MXU is a systolic array")]
+    st.claims = [{"claim": "the MXU is a systolic array",
+                  "supported": None}]
+    core.verify_response(st, agent)
+    assert st.verification_passed
+
+
+def test_query_refinement_early_stop(agent):
+    st = _state()
+    st.rewritten_query = None
+
+    class EchoLLM(DeterministicLLM):
+        def complete(self, prompt, task="", **kw):
+            if task == "refine":
+                return st.effective_query  # no improvement
+            return super().complete(prompt, task=task, **kw)
+
+    agent.llm, saved = EchoLLM(), agent.llm
+    agent.query_rewriter.llm = agent.llm
+    try:
+        core.query_refinement(st, agent)
+        assert st.refinement_attempts >= \
+            agent.settings.loops.max_refinement_attempts
+    finally:
+        agent.llm = saved
+        agent.query_rewriter.llm = saved
+
+
+def test_web_search_fallback_unavailable_is_noop(agent):
+    st = _state()
+    core.web_search_fallback(st, agent)  # fake web returns []
+    assert st.web_search_attempted and not st.web_context
+
+
+def test_process_tool_calls_executes_and_clears(agent):
+    st = _state()
+    st.tool_calls = [{"name": "add_core_fact",
+                      "arguments": {"fact": "unit test fact"}}]
+    core.process_tool_calls(st, agent)
+    assert not st.tool_calls and st.tool_results
+    assert "unit test fact" in agent.memory.get_core_memory()["facts"]
+
+
+def test_update_memory_persists_turn(agent):
+    st = _state()
+    st.response = "answer text"
+    before = len(agent.memory.get_recent_messages(50))
+    core.update_memory(st, agent)
+    assert len(agent.memory.get_recent_messages(50)) == before + 2
+
+
+def test_health_check_healthy_on_cpu():
+    out = check_device_health(timeout_s=30)
+    assert out["healthy"] and out["device_count"] >= 1
+
+
+def test_health_check_timeout_path(monkeypatch):
+    out = check_device_health(timeout_s=0.0)
+    assert not out["healthy"] and "respond" in out["error"]
