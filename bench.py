@@ -38,6 +38,19 @@ def main() -> None:
     import jax.numpy as jnp
     from benchmarks.common import make_corpus_device
     from optimized_rag_tpu.ops.topk import chunked_topk, pallas_topk
+    from optimized_rag_tpu.utils.health import check_device_health
+
+    # The chip takes 1-3 min to grant a claim after another process exits;
+    # wait for health rather than hanging silently in the first op.
+    for attempt in range(4):
+        health = check_device_health(timeout_s=120)
+        if health.get("healthy"):
+            log(f"device healthy: {health}")
+            break
+        log(f"device not ready (attempt {attempt + 1}/4): {health}")
+        time.sleep(60)
+    else:
+        log("WARNING: proceeding despite failing health checks")
 
     N, D, B, K = 10 * (1 << 20), 128, 512, 10
     TILE, TILE_K = 4096, 2

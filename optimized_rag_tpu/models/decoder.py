@@ -165,7 +165,7 @@ class Generator:
     # -- compiled pipeline --------------------------------------------------
 
     def _generate_impl(self, params, ids, prompt_len, key, temperature,
-                       max_new: int):
+                       top_k, top_p, max_new: int):
         """ids [1, max_prompt_len] padded; returns [max_new] token ids."""
         c = self.cfg
         total = self.max_prompt_len + max_new
@@ -182,12 +182,27 @@ class Generator:
             logits, (prompt_len - 1)[None, None, None], axis=1)[0, 0]
 
         def sample(logits, key):
+            def sampled():
+                lg = logits / jnp.maximum(temperature, 1e-4)
+                # top-k filter: keep the k largest logits.
+                kth = jnp.sort(lg)[-jnp.maximum(top_k, 1)]
+                lg = jnp.where(top_k > 0, jnp.where(lg >= kth, lg, -1e30),
+                               lg)
+                # nucleus (top-p) filter: keep the smallest prefix of the
+                # sorted distribution whose mass reaches top_p.
+                probs = jax.nn.softmax(lg)
+                order = jnp.argsort(-probs)
+                csum = jnp.cumsum(probs[order])
+                cut = csum - probs[order] < top_p        # keep while below
+                keep_sorted = jnp.where(top_p < 1.0, cut, True)
+                keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+                lg = jnp.where(keep, lg, -1e30)
+                return jax.random.categorical(key, lg).astype(jnp.int32)
+
             return jax.lax.cond(
                 temperature <= 1e-4,
                 lambda: jnp.argmax(logits).astype(jnp.int32),
-                lambda: jax.random.categorical(
-                    key, logits / jnp.maximum(temperature, 1e-4)
-                ).astype(jnp.int32))
+                sampled)
 
         def step(carry, _):
             caches, logits, pos, key, done = carry
@@ -208,7 +223,10 @@ class Generator:
     # -- host API -----------------------------------------------------------
 
     def generate(self, prompt: str, max_new_tokens: Optional[int] = None,
-                 temperature: float = 0.0, seed: int = 0) -> str:
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, seed: int = 0) -> str:
+        """top_k=0 disables the top-k filter; top_p=1.0 disables nucleus
+        sampling; temperature<=0 is greedy (filters ignored)."""
         max_new = max_new_tokens or self.max_new_tokens
         ids = encode_bytes(prompt, self.max_prompt_len)
         plen = len(ids)
@@ -218,6 +236,8 @@ class Generator:
                               jnp.asarray(plen, jnp.int32),
                               jax.random.PRNGKey(seed),
                               jnp.asarray(temperature, jnp.float32),
+                              jnp.asarray(top_k, jnp.int32),
+                              jnp.asarray(top_p, jnp.float32),
                               max_new=max_new)
         toks = np.asarray(toks).tolist()
         if EOS in toks:

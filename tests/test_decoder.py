@@ -116,3 +116,21 @@ def test_local_lm_provider_falls_back():
     ans = prov.complete("[1] context doc\nQuestion: what\nAnswer:",
                         task="generate")
     assert isinstance(ans, str) and ans
+
+
+def test_sampling_filters():
+    gen = Generator(TINY, max_prompt_len=32, max_new_tokens=8)
+    # top_k=1 sampling must equal greedy (only the argmax survives).
+    greedy = gen.generate("hello world", temperature=0.0)
+    topk1 = gen.generate("hello world", temperature=0.7, top_k=1, seed=3)
+    assert topk1 == greedy
+    # nucleus with tiny top_p also collapses to (near-)greedy.
+    nucleus = gen.generate("hello world", temperature=0.7, top_p=1e-6,
+                           seed=3)
+    assert nucleus == greedy
+    # permissive settings still produce deterministic output per seed
+    a = gen.generate("hello world", temperature=0.9, top_k=40, top_p=0.9,
+                     seed=5)
+    b = gen.generate("hello world", temperature=0.9, top_k=40, top_p=0.9,
+                     seed=5)
+    assert a == b
