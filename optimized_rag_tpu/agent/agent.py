@@ -370,6 +370,19 @@ class RAGAgent:
                      "refinements": state.refinement_attempts,
                      "reretrieves": state.reretrieve_attempts,
                      "web_search": state.web_search_attempted})
+        # Daily aggregates in the store (reference
+        # dw_grpo_persistence.update_daily_metrics, :320).
+        try:
+            self.store.update_daily_metric(self.settings.agent_id,
+                                           "queries", 1)
+            for tier in state.tiers_used:
+                self.store.update_daily_metric(self.settings.agent_id,
+                                               f"tier{tier}_queries", 1)
+            if state.refused:
+                self.store.update_daily_metric(self.settings.agent_id,
+                                               "refusals", 1)
+        except Exception:
+            pass  # metrics must never break a chat turn
         # JSONL metrics export (reference rag/nodes/helpers.py:643-674).
         if self.metrics_exporter is not None:
             try:

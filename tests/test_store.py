@@ -169,3 +169,19 @@ def test_cost_persistence(tmp_path):
     t.save()
     t2 = CostTracker(path)
     assert t2.totals["llm_input_tokens"] == 1000
+
+
+def test_chat_updates_daily_metrics():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fakes import FakeEmbedder
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    from optimized_rag_tpu.config import Settings
+    s = Settings()
+    s.flags.enable_metrics_export = False
+    a = RAGAgent(s, llm=DeterministicLLM(),
+                 embed_service=FakeEmbedder(dim=32))
+    a.chat("hello")
+    m = a.store.get_daily_metrics(s.agent_id)
+    assert m.get("queries") == 1
