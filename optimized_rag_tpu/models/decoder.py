@@ -63,10 +63,12 @@ class _CausalBlock(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, kv_cache=None, pos=None):
-        """x [B, L, H]. Without cache: full causal self-attention.
-        With cache (k, v of shape [B, max_len, heads, hd]) and pos: one
-        decode step (L == 1) attending to cache[:pos+1]."""
+    def __call__(self, x, kv_cache=None, pos=None, key_valid=None):
+        """x [B, L, H]. Without cache: full causal self-attention (with an
+        optional [B, L] key-validity mask for left-padded batches). With
+        cache (k, v of shape [B, max_len, heads, hd]) and pos: one decode
+        step (L == 1) attending to cache[:pos+1] ∧ key_valid [B, max_len].
+        """
         c = self.cfg
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(c.dtype)
         b, l, _ = h.shape
@@ -78,9 +80,10 @@ class _CausalBlock(nn.Module):
 
         if kv_cache is None:
             att = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale
-            causal = jnp.tril(jnp.ones((l, l), bool))
-            att = jnp.where(causal[None, None], att.astype(jnp.float32),
-                            -1e30)
+            mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
+            if key_valid is not None:
+                mask = mask & key_valid[:, None, None, :]
+            att = jnp.where(mask, att.astype(jnp.float32), -1e30)
             att = jax.nn.softmax(att, axis=-1).astype(c.dtype)
             out = jnp.einsum("bhlm,bmhd->blhd", att, v)
             new_cache = (k, v)
@@ -93,8 +96,10 @@ class _CausalBlock(nn.Module):
             att = jnp.einsum("blhd,bmhd->bhlm", q, ck) * scale
             m = ck.shape[1]
             idx = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-            valid = idx <= pos
-            att = jnp.where(valid[None, None, None],
+            valid = (idx <= pos)[None, :]
+            if key_valid is not None:
+                valid = valid & key_valid
+            att = jnp.where(valid[:, None, None, :],
                             att.astype(jnp.float32), -1e30)
             att = jax.nn.softmax(att, axis=-1).astype(c.dtype)
             out = jnp.einsum("bhlm,bmhd->blhd", att, cv)
@@ -113,16 +118,22 @@ class DecoderLM(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, ids, kv_caches=None, pos=None):
+    def __call__(self, ids, kv_caches=None, pos=None, key_valid=None,
+                 pos_ids=None):
         """ids [B, L] -> (logits [B, L, V], caches).
 
         kv_caches: None (full causal forward / prefill from scratch) or a
-        list of per-layer (k, v) buffers with ``pos`` for one-step decode.
+        list of per-layer (k, v) buffers with ``pos`` (scalar storage slot)
+        for one-step decode. ``key_valid`` masks pad key positions (for
+        left-padded batches); ``pos_ids`` [B, L] overrides the positional
+        ids (per-row logical positions under left-padding).
         """
         c = self.cfg
         tok = nn.Embed(c.vocab_size, c.hidden_dim, dtype=c.dtype,
                        name="tok")(ids)
-        if pos is None:
+        if pos_ids is not None:
+            positions = pos_ids
+        elif pos is None:
             positions = jnp.arange(ids.shape[1])[None]
         else:
             positions = jnp.full((1, ids.shape[1]), pos)
@@ -132,7 +143,8 @@ class DecoderLM(nn.Module):
         new_caches = []
         for i in range(c.num_layers):
             cache_i = None if kv_caches is None else kv_caches[i]
-            x, cache = _CausalBlock(c, name=f"block_{i}")(x, cache_i, pos)
+            x, cache = _CausalBlock(c, name=f"block_{i}")(x, cache_i, pos,
+                                                          key_valid)
             new_caches.append(cache)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         logits = nn.Dense(c.vocab_size, dtype=jnp.float32,
@@ -164,36 +176,50 @@ class Generator:
 
     # -- compiled pipeline --------------------------------------------------
 
-    def _generate_impl(self, params, ids, prompt_len, key, temperature,
+    def _generate_impl(self, params, ids, pad_len, key, temperature,
                        top_k, top_p, max_new: int):
-        """ids [1, max_prompt_len] padded; returns [max_new] token ids."""
-        c = self.cfg
-        total = self.max_prompt_len + max_new
-        # Prefill: full causal forward over the padded prompt; build caches
-        # padded to `total`.
-        logits, caches = self.model.apply(params, ids)
-        caches = [
-            (jnp.zeros((1, total, c.num_heads, c.head_dim),
-                       c.dtype).at[:, : self.max_prompt_len].set(k),
-             jnp.zeros((1, total, c.num_heads, c.head_dim),
-                       c.dtype).at[:, : self.max_prompt_len].set(v))
-            for k, v in caches]
-        last_logits = jnp.take_along_axis(
-            logits, (prompt_len - 1)[None, None, None], axis=1)[0, 0]
+        """Batched generation over LEFT-padded prompts.
 
-        def sample(logits, key):
+        ids [B, max_prompt_len] (prompt right-aligned; PAD on the left,
+        pad_len [B] pads per row) -> [max_new, B] token ids. Left padding
+        makes every row's decode slot uniform (one scalar cache position
+        per step); pad keys are masked and positional ids are shifted per
+        row, so batched output is exactly the single-prompt output.
+        """
+        c = self.cfg
+        b = ids.shape[0]
+        p = self.max_prompt_len
+        total = p + max_new
+        pad_mask = jax.lax.broadcasted_iota(
+            jnp.int32, (b, p), 1) >= pad_len[:, None]
+        pos_ids = jnp.maximum(
+            jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+            - pad_len[:, None], 0)
+        logits, caches = self.model.apply(params, ids, key_valid=pad_mask,
+                                          pos_ids=pos_ids)
+        caches = [
+            (jnp.zeros((b, total, c.num_heads, c.head_dim),
+                       c.dtype).at[:, :p].set(k),
+             jnp.zeros((b, total, c.num_heads, c.head_dim),
+                       c.dtype).at[:, :p].set(v))
+            for k, v in caches]
+        last_logits = logits[:, -1]                       # [B, V]
+        storage_valid = jnp.concatenate(
+            [pad_mask, jnp.ones((b, max_new), bool)], axis=1)
+
+        def sample_one(logits, key):
             def sampled():
                 lg = logits / jnp.maximum(temperature, 1e-4)
                 # top-k filter: keep the k largest logits.
                 kth = jnp.sort(lg)[-jnp.maximum(top_k, 1)]
                 lg = jnp.where(top_k > 0, jnp.where(lg >= kth, lg, -1e30),
                                lg)
-                # nucleus (top-p) filter: keep the smallest prefix of the
-                # sorted distribution whose mass reaches top_p.
+                # nucleus (top-p): smallest prefix of the sorted
+                # distribution whose mass reaches top_p.
                 probs = jax.nn.softmax(lg)
                 order = jnp.argsort(-probs)
                 csum = jnp.cumsum(probs[order])
-                cut = csum - probs[order] < top_p        # keep while below
+                cut = csum - probs[order] < top_p
                 keep_sorted = jnp.where(top_p < 1.0, cut, True)
                 keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
                 lg = jnp.where(keep, lg, -1e30)
@@ -204,45 +230,61 @@ class Generator:
                 lambda: jnp.argmax(logits).astype(jnp.int32),
                 sampled)
 
-        def step(carry, _):
-            caches, logits, pos, key, done = carry
+        def step(carry, t):
+            caches, logits, key, done = carry
             key, sub = jax.random.split(key)
-            tok = sample(logits, sub)
-            tok = jnp.where(done, PAD, tok)
-            out_tok = tok
+            toks = jax.vmap(sample_one)(logits,
+                                        jax.random.split(sub, b))  # [B]
+            toks = jnp.where(done, PAD, toks)
+            pos = p + t
+            step_pos_ids = (pos - pad_len)[:, None]
             new_logits, new_caches = self.model.apply(
-                params, tok[None, None], kv_caches=caches, pos=pos)
-            done = done | (tok == EOS)
-            return ((new_caches, new_logits[0, 0], pos + 1, key, done),
-                    out_tok)
+                params, toks[:, None], kv_caches=caches, pos=pos,
+                key_valid=storage_valid, pos_ids=step_pos_ids)
+            done = done | (toks == EOS)
+            return ((new_caches, new_logits[:, 0], key, done), toks)
 
-        init = (caches, last_logits, prompt_len, key, jnp.asarray(False))
-        _, toks = jax.lax.scan(step, init, None, length=max_new)
-        return toks
+        init = (caches, last_logits, key, jnp.zeros((b,), bool))
+        _, toks = jax.lax.scan(step, init,
+                               jnp.arange(max_new, dtype=jnp.int32))
+        return toks                                       # [max_new, B]
 
     # -- host API -----------------------------------------------------------
+
+    def generate_batch(self, prompts: list[str],
+                       max_new_tokens: Optional[int] = None,
+                       temperature: float = 0.0, top_k: int = 0,
+                       top_p: float = 1.0, seed: int = 0) -> list[str]:
+        """Batched generation; one compiled dispatch for the whole batch."""
+        max_new = max_new_tokens or self.max_new_tokens
+        b = len(prompts)
+        ids = np.zeros((b, self.max_prompt_len), np.int32)
+        pad_len = np.zeros(b, np.int32)
+        for r, prompt in enumerate(prompts):
+            row = encode_bytes(prompt, self.max_prompt_len)
+            pad_len[r] = self.max_prompt_len - len(row)
+            ids[r, pad_len[r]:] = row
+        toks = np.asarray(self._generate(
+            self.params, jnp.asarray(ids), jnp.asarray(pad_len),
+            jax.random.PRNGKey(seed),
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32),
+            jnp.asarray(top_p, jnp.float32), max_new=max_new)).T  # [B, new]
+        out = []
+        for row in toks:
+            row = row.tolist()
+            if EOS in row:
+                row = row[: row.index(EOS)]
+            out.append(decode_bytes(row))
+        return out
 
     def generate(self, prompt: str, max_new_tokens: Optional[int] = None,
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, seed: int = 0) -> str:
         """top_k=0 disables the top-k filter; top_p=1.0 disables nucleus
         sampling; temperature<=0 is greedy (filters ignored)."""
-        max_new = max_new_tokens or self.max_new_tokens
-        ids = encode_bytes(prompt, self.max_prompt_len)
-        plen = len(ids)
-        padded = np.zeros((1, self.max_prompt_len), np.int32)
-        padded[0, :plen] = ids
-        toks = self._generate(self.params, jnp.asarray(padded),
-                              jnp.asarray(plen, jnp.int32),
-                              jax.random.PRNGKey(seed),
-                              jnp.asarray(temperature, jnp.float32),
-                              jnp.asarray(top_k, jnp.int32),
-                              jnp.asarray(top_p, jnp.float32),
-                              max_new=max_new)
-        toks = np.asarray(toks).tolist()
-        if EOS in toks:
-            toks = toks[: toks.index(EOS)]
-        return decode_bytes(toks)
+        return self.generate_batch([prompt], max_new_tokens, temperature,
+                                   top_k, top_p, seed)[0]
 
     def score(self, text: str) -> float:
         """Mean next-token log-prob (perplexity surrogate for tests)."""

@@ -134,3 +134,11 @@ def test_sampling_filters():
     b = gen.generate("hello world", temperature=0.9, top_k=40, top_p=0.9,
                      seed=5)
     assert a == b
+
+
+def test_batched_generation_matches_single():
+    gen = Generator(TINY, max_prompt_len=32, max_new_tokens=8)
+    prompts = ["short", "a somewhat longer prompt here", "mid size one"]
+    batched = gen.generate_batch(prompts, temperature=0.0)
+    singles = [gen.generate(p, temperature=0.0) for p in prompts]
+    assert batched == singles
