@@ -224,8 +224,12 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
     if prefer_pallas is None:
         prefer_pallas = on_tpu and n % tile == 0 and k <= 128
     if prefer_pallas:
+        # With many tiles per true top-k row, extracting 2 winners per
+        # tile is measured-exact and bounds the (tile_k*B*N) extraction
+        # cost — the large-batch bottleneck (see pallas_topk docstring).
+        tile_k = 2 if n // tile >= 64 * k else None
         return pallas_topk(queries, corpus, k, size, tile=tile,
-                           interpret=not on_tpu)
+                           tile_k=tile_k, interpret=not on_tpu)
     if n > chunk and n % chunk == 0:
         return chunked_topk(queries, corpus, k, size, chunk=chunk)
     return exact_topk(queries, corpus, k, size)
