@@ -12,7 +12,6 @@ import re
 import time
 from typing import List
 
-import numpy as np
 
 from optimized_rag_tpu.agent import prompts
 from optimized_rag_tpu.agent.state import AgentState

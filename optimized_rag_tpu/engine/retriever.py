@@ -19,14 +19,12 @@ from __future__ import annotations
 import time
 from typing import Callable, Dict, List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from optimized_rag_tpu.engine.types import (
     Intent, RetrievedDoc, Source, intent_weights, retrieval_strategy)
 from optimized_rag_tpu.index.dense import DenseIndex
 from optimized_rag_tpu.index.lexical import LexicalIndex
-from optimized_rag_tpu.ops.similarity import normalize
 from optimized_rag_tpu.ops.topk import NEG_INF
 
 NEG_INF_HALF = NEG_INF / 2
