@@ -98,14 +98,19 @@ class ShardedDenseIndex:
 
     def _grow(self) -> None:
         old = self._emb
-        new_cap = self.shard_capacity * 2
+        old_cap = self.shard_capacity
+        new_cap = old_cap * 2
         grown = jnp.zeros((self.ndev, new_cap, self.dim), self.dtype)
-        grown = grown.at[:, :self.shard_capacity].set(
-            old.reshape(self.ndev, self.shard_capacity, self.dim))
+        grown = grown.at[:, :old_cap].set(
+            old.reshape(self.ndev, old_cap, self.dim))
         self._emb = jax.device_put(
             grown.reshape(self.ndev * new_cap, self.dim),
             NamedSharding(self.mesh, P(self.axis, None)))
         self.shard_capacity = new_cap
+        # Storage rows moved: shard s's block now starts at s*new_cap.
+        self._id_map = [
+            (rows // old_cap) * new_cap + rows % old_cap
+            for rows in self._id_map]
 
     def add(self, embeddings) -> np.ndarray:
         """Append embeddings [n, dim]; returns dense external ids."""
@@ -130,7 +135,7 @@ class ShardedDenseIndex:
 
     def search(self, queries, k: int, impl: str = "auto"):
         q = normalize(jnp.atleast_2d(jnp.asarray(queries))).astype(jnp.float32)
-        if self.size == 0:
+        if self.size == 0 or q.shape[0] == 0:
             b = q.shape[0]
             return (np.full((b, k), -np.inf, np.float32),
                     np.full((b, k), -1, np.int64))

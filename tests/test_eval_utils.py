@@ -129,3 +129,14 @@ def test_agent_timer_records_node_spans():
     a.chat("hello there")
     stats = a.timer.stats()
     assert "generate_response" in stats and "retrieve_rag" in stats
+
+
+def test_settings_from_env(monkeypatch):
+    from optimized_rag_tpu.config import Settings
+    monkeypatch.setenv("ORAG_EMBED_DIM", "512")
+    monkeypatch.setenv("ORAG_CHUNK_SIZE", "800")
+    monkeypatch.setenv("ORAG_TOP_K", "7")
+    s = Settings.from_env()
+    assert s.encoder.dim == 512
+    assert s.chunking.chunk_size == 800
+    assert s.retrieval.top_k == 7

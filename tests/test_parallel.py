@@ -92,3 +92,16 @@ def test_sharded_dense_index_incremental_adds(rng):
     q = b[5:6]
     _, got = idx.search(q, k=1)
     assert got[0, 0] == 105
+
+
+def test_sharded_dense_index_grows_capacity(rng):
+    mesh = make_mesh(data=8)
+    idx = ShardedDenseIndex(dim=16, mesh=mesh, capacity_block=8 * 256,
+                            tile=256)
+    cap0 = idx.shard_capacity
+    docs = _unit(rng, 8 * 256 + 50, 16)   # overflow initial capacity
+    idx.add(docs)
+    assert idx.shard_capacity > cap0
+    assert idx.size == len(docs)
+    _, got = idx.search(docs[2090:2091], k=1)
+    assert got[0, 0] == 2090
