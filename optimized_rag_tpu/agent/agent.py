@@ -47,6 +47,12 @@ from optimized_rag_tpu.store.memory import MemoryManager
 from optimized_rag_tpu.engine.adaptive import DynamicWeightManager
 
 
+def _truthy(v) -> bool:
+    if isinstance(v, str):
+        return v.strip().lower() in ("1", "true", "yes", "on")
+    return bool(v)
+
+
 class RAGAgent:
     def __init__(self, settings: Optional[Settings] = None,
                  llm: Optional[LLMProvider] = None,
@@ -73,6 +79,18 @@ class RAGAgent:
                 max_len=128, cache_size=s.encoder.cache_size)
         self.embedder = embed_service
         self.embed_fn = embed_service.encode
+        # The reference always loads its cross-encoder rerank stage
+        # (rag/reranker.py:313); build ours by default, flag-gated.
+        if cross_encoder is None and s.rerank.enable_cross_encoder:
+            from optimized_rag_tpu.models.encoder import (
+                CrossEncoderService, TransformerConfig as _TC)
+            cross_encoder = CrossEncoderService(
+                _TC(vocab_size=s.encoder.vocab_size,
+                    hidden_dim=s.cross_encoder.hidden_dim,
+                    num_layers=s.cross_encoder.num_layers,
+                    num_heads=s.cross_encoder.num_heads,
+                    mlp_dim=s.cross_encoder.mlp_dim),
+                max_len=min(s.cross_encoder.max_seq_len, 256))
         self.cross_encoder = cross_encoder
 
         # Storage + indexes.
@@ -127,7 +145,7 @@ class RAGAgent:
         # Rerank / compress / consistency.
         self.reranker = SelectiveReranker(
             cross_encoder=self.cross_encoder, embed_fn=self.embed_fn,
-            blend_original=s.cross_encoder.blend_original)
+            config=s.rerank)
         self.compressor = ContextCompressor(
             self.embed_fn, max_tokens=s.context.compression_target_tokens,
             semantic_weight=s.context.semantic_weight,
@@ -184,17 +202,72 @@ class RAGAgent:
 
     # ----------------------------------------------------------------- tier3
 
-    def _tier3(self, query: str, intent):
-        """Agentic tier-3: KG traversal, then web (reference
-        hierarchical_retriever.py:501-660)."""
+    def _tier3(self, query: str, intent, context_docs=None):
+        """tier3_fn hook for the hierarchical retriever."""
+        return self.tier3_agentic_search(query, existing_context=context_docs,
+                                         intent=intent)
+
+    def tier3_agentic_search(self, query: str, existing_context=None,
+                             intent=None, top_k: int = 3):
+        """Agentic tier-3 (reference hierarchical_retriever.py:501-660;
+        public re-entry :701, used for retroactive escalation from Self-RAG
+        evaluation via the web_search_fallback node).
+
+        KG traversal is on-device-cheap and always runs; the expensive web
+        call is LLM-gated: the LLM judges tier-1/2 context sufficiency and,
+        when escalating, may reformulate the search query. On LLM failure,
+        fall back to a direct web search (:610-626).
+        """
+        from optimized_rag_tpu.agent import prompts
+        from optimized_rag_tpu.agent.rewriter import (
+            is_conversation_context_query)
         out = []
         if self.kg_retriever is not None:
             ctx = self.kg_retriever.query_knowledge_graph(query)
             if ctx:
                 out.append(RetrievedDoc(doc_id=-3000, score=0.6, text=ctx,
-                                        source=Source.KNOWLEDGE_GRAPH))
-        if self.web is not None and self.web.available:
-            out.extend(self.web.search(query))
+                                        source=Source.KNOWLEDGE_GRAPH,
+                                        tier=3))
+        if self.web is None or not self.web.available:
+            return out
+        # Guard: conversation-context queries gain nothing from the web
+        # (reference :523-529) — the recall path answers those.
+        if is_conversation_context_query(query):
+            return out
+        docs = list(existing_context or [])
+        summary = "No local context available."
+        if docs:
+            summary = "\n".join(
+                f"[{i + 1}] (score: {d.score:.2f}) {d.text[:200]}"
+                for i, d in enumerate(docs[:3]))
+        try:
+            decision = self.llm.structured(
+                prompts.TIER3_AGENTIC_PROMPT.format(query=query,
+                                                    context=summary),
+                keys=("sufficient", "use_web_search", "search_query"),
+                task="tier3_decision")
+            if _truthy(decision.get("sufficient")) \
+                    or not _truthy(decision.get("use_web_search")):
+                return out  # local context judged sufficient (:605-607)
+            search_q = str(decision.get("search_query") or query).strip() \
+                or query
+            results = self.web.search(search_q, max_results=top_k)
+            for d in results:
+                d.tier = 3
+                d.score = 0.8  # LLM decided it was needed (:590)
+                d.metadata["llm_decided"] = True
+                d.metadata["search_query"] = search_q
+            out.extend(results)
+        except Exception:
+            try:  # direct web search fallback (:610-626)
+                results = self.web.search(query, max_results=top_k)
+                for d in results:
+                    d.tier = 3
+                    d.score = 0.7
+                    d.metadata["fallback"] = True
+                out.extend(results)
+            except Exception:
+                pass
         return out
 
     # ----------------------------------------------------------------- graph

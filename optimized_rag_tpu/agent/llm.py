@@ -130,6 +130,21 @@ class DeterministicLLM:
             answer = self._generate(prompt)
             return {"answer": answer,
                     "citations": list(range(1, min(len(docs), 3) + 1))}
+        if task == "tier3_decision":
+            # Mirror the reference's decision criteria deterministically
+            # (hierarchical_retriever.py:556-561): recency keywords or low
+            # local scores -> web search; otherwise sufficient.
+            m = re.search(r"User query:\s*(.+)", prompt)
+            query = m.group(1).strip() if m else ""
+            scores = [float(s) for s in
+                      re.findall(r"\(score:\s*([0-9.]+)\)", prompt)]
+            recency = bool(re.search(
+                r"\b(latest|recent|current|today|20\d\d)\b", query,
+                re.IGNORECASE))
+            insufficient = recency or not scores or max(scores) < 0.5
+            return {"sufficient": not insufficient,
+                    "use_web_search": insufficient,
+                    "search_query": query}
         return {k: "" for k in keys}
 
     # -- internals ----------------------------------------------------------

@@ -127,7 +127,12 @@ def retrieve_rag(state: AgentState, agent) -> None:
     if agent.hierarchical is not None:
         docs, info = agent.hierarchical.retrieve(
             query, top_k=strategy_k, intent=state.query_intent,
-            weights=weights)
+            weights=weights,
+            # Self-RAG relevance from the previous evaluation round blends
+            # 60/40 into tier confidence (reference
+            # hierarchical_retriever.py:86-90) so low semantic relevance
+            # forces escalation raw scores alone would not.
+            semantic_confidence=state.semantic_confidence)
         state.tiers_used = info["tiers_used"]
         state.retrieval_confidence = info["confidence"]
     else:
@@ -158,6 +163,9 @@ def rerank_and_eval(state: AgentState, agent) -> None:
 
     ev = agent.selfrag.evaluate_retrieval(query, docs)
     state.relevance_score = ev["relevance"]
+    # Carry Self-RAG relevance into later tier-confidence evaluations
+    # (reference rerank_and_eval.py:197-199).
+    state.semantic_confidence = ev["relevance"]
 
     # Zero-relevance early exit vs CROSS_ENCODER_SCORE_THRESHOLD=0.15
     # (reference :201-211).
@@ -181,6 +189,7 @@ def rerank_and_eval(state: AgentState, agent) -> None:
                                         k_out=max(len(docs), k))
         ev = agent.selfrag.evaluate_retrieval(query, docs)
         state.relevance_score = ev["relevance"]
+        state.semantic_confidence = ev["relevance"]
 
     # Consistency check (:160-194).
     if agent.settings.flags.enable_consistency_check and len(docs) > 1:
@@ -377,17 +386,24 @@ def query_refinement(state: AgentState, agent) -> None:
 
 
 def web_search_fallback(state: AgentState, agent) -> None:
-    """Tier-3 web augmentation when factuality is POOR (reference
-    rag/nodes/web_search_fallback.py:13-160; its trigger_tier_3 bug is
-    intentionally not reproduced — see SURVEY.md §2.1 note)."""
+    """Tier-3 web augmentation when factuality is POOR, through the public
+    agentic re-entry (reference rag/nodes/web_search_fallback.py:13-160
+    calling tier_3_agentic_search, hierarchical_retriever.py:701; its
+    trigger_tier_3 name bug is intentionally not reproduced — see
+    SURVEY.md §2.1 note)."""
     state.web_search_attempted = True
-    if agent.web is None or not agent.web.available:
-        return
     try:
-        results = agent.web.search(state.effective_query)
+        # existing_context=None: this node only fires after the context
+        # failed factuality, so it must not be presented as sufficient
+        # (the reference's re-entry passes score-less strings, which its
+        # LLM prompt reads as score 0 — same effect).
+        results = agent.tier3_agentic_search(
+            state.effective_query, existing_context=None,
+            intent=state.query_intent)
     except Exception as exc:
         state.warnings.append(f"web search failed: {exc}")
         return
+    results = [d for d in results if d.source == Source.WEB]
     if results:
         state.web_context = results
         state.rag_context = results + state.rag_context

@@ -40,11 +40,46 @@ synonyms, one per line.
 Query: {query}
 Alternatives:"""
 
+# Worked citation examples (capability parity with the reference's few-shot
+# block, prompts/generate_response.py:1-96 — re-written). Example context
+# lines are indented so they can never be mistaken for the real numbered
+# context below.
+GENERATE_FEW_SHOT = """Citation rules:
+1. Every factual sentence MUST carry a [N] marker tied to the numbered
+   context item that supports it.
+2. Use ONLY the provided context — never answer from prior knowledge.
+3. If the context does not contain the answer, say so instead of guessing.
+
+Worked examples (GOOD and BAD):
+
+  GOOD — every claim cited:
+    Q: What is a TPU?
+    Ctx: [1] A TPU is an accelerator built around a systolic matmul array.
+    A: A TPU is an accelerator built around a systolic matmul array [1].
+
+  BAD — uncited claim (never do this):
+    A: A TPU is a chip made by a large cloud vendor.
+    Problem: no [N] marker, and the vendor claim is not in the context.
+
+  GOOD — insufficient context acknowledged:
+    Q: What will TPUs look like in ten years?
+    Ctx: [1] Current TPUs focus on dense matmul throughput.
+    A: Current TPUs focus on dense matmul throughput [1]. The provided
+       context does not say anything about future designs, so I can't
+       answer that part.
+
+  BAD — answering from training knowledge instead of the context:
+    Ctx: [1] The report contrasts fast and analytical processing.
+    A: This refers to Kahneman's System 1 / System 2 research...
+    Problem: the context never mentions Kahneman; cite [1] and stop there.
+"""
+
 GENERATE_PROMPT = """You are a careful assistant. Answer the question using
 ONLY the numbered context. Every factual sentence MUST end with a citation
 marker [N] pointing at the context item that supports it. If the context
 does not contain the answer, say you don't know.
 
+""" + GENERATE_FEW_SHOT + """
 Core memory:
 {core_memory}
 
@@ -53,6 +88,23 @@ Context:
 
 Question: {query}
 Answer:"""
+
+TIER3_AGENTIC_PROMPT = """You are a research assistant deciding whether
+external tools are needed (be conservative — tools cost money).
+
+User query: {query}
+
+Local context from tiers 1-2 (top results with scores):
+{context}
+
+Decide:
+- If the local context covers the query well, it is SUFFICIENT.
+- If the query asks for latest/recent/current information, or the local
+  scores are low (<0.5) or the context is missing, a web search helps;
+  reformulate the search query if a different phrasing would match better.
+
+Respond with: sufficient (true/false), use_web_search (true/false),
+search_query (the reformulated web query, or the original)."""
 
 COT_PROMPT = """Think step by step about how the context answers the
 question. List the reasoning steps, then state what evidence supports each.

@@ -42,6 +42,24 @@ _REFERENCE_PATTERNS = (
 )
 _REF_RES = tuple(re.compile(p, re.IGNORECASE) for p in _REFERENCE_PATTERNS)
 
+# Queries about the conversation itself — web search can never help these
+# (reference hierarchical_retriever.py:470-499, bilingual pattern list).
+_CONTEXT_QUERY_RES = tuple(re.compile(p, re.IGNORECASE) for p in (
+    r"(primeir|[uú]ltim|pen[uú]ltim)a? pergunta", r"pergunta anterior",
+    r"o que (eu )?(perguntei|disse|falei)", r"o que (voc[eê]|n[oó]s)"
+    r" (disse|falou|conversamos)", r"nossa conversa",
+    r"sobre o que conversamos",
+    r"(first|last|previous) question", r"what did (i|we|you)",
+    r"what (i|we|you) (ask|said|mention)", r"our conversation",
+    r"what we (talked|discussed)", r"earlier in (this|our) conversation",
+))
+
+
+def is_conversation_context_query(query: str) -> bool:
+    """True for queries about the conversation history itself, where
+    external retrieval (web/KG) cannot help (reference :470-499)."""
+    return any(rx.search(query) for rx in _CONTEXT_QUERY_RES)
+
 
 class ConversationReferenceDetector:
     def __init__(self, embed_fn: Optional[Callable] = None, llm=None,

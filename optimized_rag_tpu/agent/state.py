@@ -65,6 +65,10 @@ class AgentState:
     tiers_used: List[int] = field(default_factory=list)
     retrieval_confidence: float = 0.0
     relevance_score: float = 0.0
+    # Self-RAG retrieval relevance carried into the next tier-confidence
+    # evaluation (reference rerank_and_eval.py:197-199 stamps it on results
+    # for hierarchical_retriever.py:79-90's 60/40 blend).
+    semantic_confidence: Optional[float] = None
     retrieval_weights: Dict[str, float] = field(default_factory=dict)
 
     # eval / compression

@@ -125,10 +125,16 @@ class TierConfig:
 @dataclass
 class RerankConfig:
     enable_selective: bool = True
-    score_variance_skip: float = 0.01   # skip rerank if variance below (selective_reranker.py:140)
+    # variance policy (selective_reranker.py:140-150): variance above
+    # high_variance_skip = clear winners, skip; below low_variance_rerank =
+    # similar scores, rerank helps.
+    high_variance_skip: float = 0.1
+    low_variance_rerank: float = 0.05
+    low_score_force: float = 0.05       # force rerank when avg score below (:131)
     cross_encoder_threshold: float = 0.15  # CROSS_ENCODER_SCORE_THRESHOLD (config.py:201)
     rerank_top_k: int = 5
-    precision_intents: Tuple[str, ...] = ("factual_lookup", "multi_hop", "comparison")
+    blend_original: float = 0.3         # 0.7*new + 0.3*orig (rag/reranker.py:77)
+    enable_cross_encoder: bool = True   # reference always loads it (reranker.py:313)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,20 @@ import numpy as np
 
 from optimized_rag_tpu.engine.types import Intent, RetrievedDoc, Source
 
+# EN + PT function words that must not count as keyword evidence in the
+# tier-1 scan — without this, "what is the project about" clears the 0.3
+# overlap threshold against any verbose core-memory block on {what, is,
+# the, about} alone.
+_STOPWORDS = frozenset("""
+a about an and are as at be been but by can could did do does for from
+had has have he her his how i if in is it its me my no not of on or our
+she so that the their them they this to was we were what when where
+which who why will with would you your
+o a os as um uma de do da dos das em no na nos nas por para com sem que
+qual quais como onde quando quem porque e ou não sim eu você ele ela
+nós eles elas meu minha seu sua isso isto aquilo sobre entre foi ser
+""".split())
+
 
 class ConfidenceEvaluator:
     def __init__(self, w_avg=0.35, w_count=0.25, w_consistency=0.20,
@@ -76,9 +90,15 @@ class HierarchicalRetriever:
                  escalation_threshold: float = 0.7,
                  tier1_min_score: float = 0.3,
                  evaluator: Optional[ConfidenceEvaluator] = None):
+        import inspect
         self.tier2 = tier2_retriever
         self.core_memory_fn = core_memory_fn
         self.tier3_fn = tier3_fn
+        # Agentic tier-3 judges sufficiency over the tier-1/2 docs; pass
+        # them when the callback accepts a third parameter.
+        self._tier3_wants_context = bool(
+            tier3_fn is not None
+            and len(inspect.signature(tier3_fn).parameters) >= 3)
         self.threshold = escalation_threshold
         self.tier1_min_score = tier1_min_score
         self.evaluator = evaluator or ConfidenceEvaluator()
@@ -96,7 +116,7 @@ class HierarchicalRetriever:
             return []
         t0 = time.time()
         self.stats["tier1_queries"] += 1
-        q_terms = set(query.lower().split())
+        q_terms = set(query.lower().split()) - _STOPWORDS
         out = []
         for i, (block, content) in enumerate(
                 sorted(self.core_memory_fn().items())):
@@ -154,7 +174,9 @@ class HierarchicalRetriever:
         self.stats["tier3_queries"] += 1
         info["tiers_used"].append(3)
         try:
-            t3 = self.tier3_fn(query, intent) or []
+            t3 = (self.tier3_fn(query, intent, docs)
+                  if self._tier3_wants_context
+                  else self.tier3_fn(query, intent)) or []
         except Exception as exc:  # fail-open like the reference (:610-626)
             info["tier3_error"] = str(exc)
             t3 = []

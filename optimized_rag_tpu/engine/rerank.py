@@ -20,8 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from optimized_rag_tpu.engine.types import (
-    Intent, PRECISION_INTENTS, RetrievedDoc)
-from optimized_rag_tpu.ops.fusion import blend_rerank, rrf_fuse
+    CONVERSATIONAL_INTENTS, FACTUAL_INTENTS, Intent, PRECISION_INTENTS,
+    RetrievedDoc)
+from optimized_rag_tpu.ops.fusion import blend_rerank
 from optimized_rag_tpu.ops.mmr import mmr_select
 
 
@@ -59,19 +60,30 @@ class EmbeddingReranker:
 class SelectiveReranker:
     def __init__(self, cross_encoder=None,
                  embed_fn: Optional[Callable] = None,
-                 blend_original: float = 0.3,
-                 low_score_force: float = 0.05,
-                 high_variance_skip: float = 0.1,
-                 low_variance_rerank: float = 0.05):
+                 config=None,
+                 blend_original: float | None = None,
+                 low_score_force: float | None = None,
+                 high_variance_skip: float | None = None,
+                 low_variance_rerank: float | None = None):
+        if config is None:
+            from optimized_rag_tpu.config import RerankConfig
+            config = RerankConfig()
+        self.config = config
         self.cross_encoder = cross_encoder  # CrossEncoderService or None
         self.embed_fn = embed_fn
+        self.blend_original = (config.blend_original if blend_original is None
+                               else blend_original)
         self.embedding_reranker = (EmbeddingReranker(embed_fn,
-                                                     blend_original)
+                                                     self.blend_original)
                                    if embed_fn is not None else None)
-        self.blend_original = blend_original
-        self.low_score_force = low_score_force
-        self.high_variance_skip = high_variance_skip
-        self.low_variance_rerank = low_variance_rerank
+        self.low_score_force = (config.low_score_force if low_score_force
+                                is None else low_score_force)
+        self.high_variance_skip = (config.high_variance_skip
+                                   if high_variance_skip is None
+                                   else high_variance_skip)
+        self.low_variance_rerank = (config.low_variance_rerank
+                                    if low_variance_rerank is None
+                                    else low_variance_rerank)
         self.stats = {"reranked": 0, "skipped": 0, "embedding_reranked": 0}
 
     # -------------------------------------------------------------- policy
@@ -114,20 +126,32 @@ class SelectiveReranker:
         if not do:
             self.stats["skipped"] += 1
             return docs[:top_k] if top_k else docs
-        is_precision = False
         try:
-            is_precision = Intent(intent) in PRECISION_INTENTS
+            intent = Intent(intent)
         except (ValueError, TypeError):
-            pass
-        if (self.cross_encoder is None or not is_precision) \
-                and self.embedding_reranker is not None \
-                and self.cross_encoder is None:
-            self.stats["embedding_reranked"] += 1
-            return self.embedding_reranker.rerank(query, docs, top_k)
-        if self.cross_encoder is None:
-            self.stats["skipped"] += 1
-            return docs[:top_k] if top_k else docs
-        self.stats["reranked"] += 1
+            intent = None
+        # Routing (selective_reranker.py:188-226): factual -> cross-encoder,
+        # conversational -> embedding reranker, default -> whichever is
+        # available (cross-encoder first); each falls back to the other.
+        if intent in FACTUAL_INTENTS:
+            order = (self.cross_encoder, self.embedding_reranker)
+        elif intent in CONVERSATIONAL_INTENTS:
+            order = (self.embedding_reranker, self.cross_encoder)
+        else:  # unmatched intents: try any available reranker
+            order = (self.cross_encoder, self.embedding_reranker)
+        for reranker in order:
+            if reranker is None:
+                continue
+            if reranker is self.embedding_reranker:
+                self.stats["embedding_reranked"] += 1
+                return self.embedding_reranker.rerank(query, docs, top_k)
+            self.stats["reranked"] += 1
+            return self._cross_encoder_rerank(query, docs, top_k)
+        self.stats["skipped"] += 1
+        return docs[:top_k] if top_k else docs
+
+    def _cross_encoder_rerank(self, query: str, docs: List[RetrievedDoc],
+                              top_k: int | None) -> List[RetrievedDoc]:
         new = self.cross_encoder.score_pairs(query, [d.text for d in docs])
         orig = np.asarray([d.score for d in docs], np.float32)
         blended = np.asarray(blend_rerank(jnp.asarray(new), jnp.asarray(orig),
@@ -159,30 +183,38 @@ class SelectiveReranker:
     @staticmethod
     def rrf_merge(lists: Sequence[Sequence[RetrievedDoc]], k_out: int,
                   rrf_k: float = 60.0) -> List[RetrievedDoc]:
-        """Merge ranked lists by reciprocal-rank fusion."""
+        """Merge ranked lists by reciprocal-rank fusion.
+
+        Candidates are deduplicated by (source, doc_id) — chunk, archival,
+        core-memory, web, and KG docs live in distinct id namespaces (some
+        negative), so fusing happens in a compact 0..C space built here and
+        mapped back (reference rag/reranker.py:239-271). Candidate sets are
+        tiny (tens of docs), so fusion runs host-side: one synced device
+        call through the tunnel costs more than the whole merge; the
+        tensor-path kernel for aligned id spaces is ops.fusion.rrf_fuse.
+        """
         lists = [lst for lst in lists if lst]
         if not lists:
             return []
-        by_id = {}
+        compact: dict = {}  # (source, doc_id) -> compact index
+        docs: List[RetrievedDoc] = []
         for lst in lists:
             for d in lst:
-                by_id.setdefault(d.doc_id, d)
-        max_id = max(by_id) + 1
-        kmax = max(len(lst) for lst in lists)
-        idx = np.full((len(lists), kmax), 0, np.int32)
-        valid = np.zeros((len(lists), kmax), bool)
-        for r, lst in enumerate(lists):
-            for c, d in enumerate(lst):
-                idx[r, c] = d.doc_id
-                valid[r, c] = True
-        scores, ids = rrf_fuse(jnp.asarray(idx), jnp.asarray(valid),
-                               k_out=min(k_out, max_id), rrf_k=rrf_k,
-                               num_candidates=max_id)
+                key = (getattr(d.source, "value", d.source), d.doc_id)
+                if key not in compact:
+                    compact[key] = len(docs)
+                    docs.append(d)
+        acc = np.zeros(len(docs), np.float64)
+        for lst in lists:
+            rows = [compact[(getattr(d.source, "value", d.source), d.doc_id)]
+                    for d in lst]
+            np.add.at(acc, rows,
+                      1.0 / (rrf_k + np.arange(len(lst), dtype=np.float64)
+                             + 1.0))
+        order = np.argsort(-acc, kind="stable")[:k_out]
         out = []
-        for s, i in zip(np.asarray(scores), np.asarray(ids)):
-            if s <= 0 or int(i) not in by_id:
-                continue
-            d = by_id[int(i)]
-            d.score = float(s)
+        for i in order:
+            d = docs[int(i)]
+            d.score = float(acc[int(i)])
             out.append(d)
-        return out[:k_out]
+        return out

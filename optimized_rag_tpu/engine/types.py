@@ -108,3 +108,14 @@ PRECISION_INTENTS = frozenset({
     Intent.QUESTION_ANSWERING, Intent.MULTI_HOP_REASONING, Intent.COMPARISON,
     Intent.FACT_CHECKING, Intent.SUMMARIZATION, Intent.SEARCH,
 })  # reference selective_reranker.py:104-116
+
+# Routing inside _apply_reranking (reference selective_reranker.py:188-204):
+# factual intents go to the cross-encoder, conversational ones to the cheap
+# embedding reranker; each falls back to the other when unavailable.
+FACTUAL_INTENTS = frozenset({
+    Intent.QUESTION_ANSWERING, Intent.MULTI_HOP_REASONING, Intent.COMPARISON,
+    Intent.FACT_CHECKING,
+})
+CONVERSATIONAL_INTENTS = frozenset({
+    Intent.CONVERSATIONAL, Intent.SEARCH, Intent.CLARIFICATION,
+})

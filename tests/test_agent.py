@@ -95,6 +95,7 @@ def test_chat_persists_conversation(agent):
 def test_chat_empty_index_refuses():
     a = RAGAgent(Settings(), llm=DeterministicLLM(),
                  embed_service=FakeEmbedService(dim=64),
+                 cross_encoder=FakeCrossEncoder(),
                  web=WebSearchTool(search_fn=lambda q, n: []))
     resp = a.chat("what is the answer to everything?")
     assert resp.refused
@@ -110,6 +111,7 @@ def test_web_fallback_rescues_refusal():
 
     a = RAGAgent(Settings(), llm=DeterministicLLM(),
                  embed_service=FakeEmbedService(dim=64),
+                 cross_encoder=FakeCrossEncoder(),
                  web=WebSearchTool(search_fn=web_fn))
     trace = []
     resp = a.chat("what is the answer to everything?", trace=trace)
@@ -279,3 +281,85 @@ def test_router_deterministic():
     assert Source.ARCHIVAL in out2["sources"]
     out3 = r.route("what about that earlier thing")
     assert Source.CONVERSATION in out3["sources"]
+
+
+# ------------------------------------------------- round-2: agentic tier-3
+
+def _web_recorder(hits):
+    def web_fn(q, n):
+        hits.append(q)
+        return [{"title": "T", "content": f"web says {q}", "url": "u"}]
+    return web_fn
+
+
+def _t3_agent(hits):
+    return RAGAgent(Settings(), llm=DeterministicLLM(),
+                    embed_service=FakeEmbedService(dim=64),
+                    cross_encoder=FakeCrossEncoder(),
+                    web=WebSearchTool(search_fn=_web_recorder(hits)))
+
+
+def test_tier3_sufficient_context_skips_web():
+    hits = []
+    a = _t3_agent(hits)
+    ctx = [RetrievedDoc(doc_id=0, score=0.9, text="a tpu is an accelerator")]
+    out = a.tier3_agentic_search("what is a tpu", existing_context=ctx)
+    assert hits == [], "LLM judged context sufficient; no web call"
+    assert all(d.source != Source.WEB for d in out)
+
+
+def test_tier3_low_scores_trigger_web():
+    hits = []
+    a = _t3_agent(hits)
+    ctx = [RetrievedDoc(doc_id=0, score=0.1, text="weak match")]
+    out = a.tier3_agentic_search("what is a tpu", existing_context=ctx)
+    assert hits == ["what is a tpu"]
+    web = [d for d in out if d.source == Source.WEB]
+    assert web and web[0].tier == 3 and web[0].score == 0.8
+    assert web[0].metadata["llm_decided"]
+
+
+def test_tier3_recency_triggers_web_despite_good_context():
+    hits = []
+    a = _t3_agent(hits)
+    ctx = [RetrievedDoc(doc_id=0, score=0.95, text="old tpu description")]
+    a.tier3_agentic_search("latest tpu announcements", existing_context=ctx)
+    assert hits == ["latest tpu announcements"]
+
+
+def test_tier3_conversation_guard_skips_web():
+    hits = []
+    a = _t3_agent(hits)
+    out = a.tier3_agentic_search("what was my first question?")
+    assert hits == []
+    assert all(d.source != Source.WEB for d in out)
+
+
+def test_tier3_llm_failure_falls_back_to_direct_search():
+    hits = []
+
+    class BrokenLLM(DeterministicLLM):
+        def structured(self, prompt, keys, task="", **kw):
+            if task == "tier3_decision":
+                raise RuntimeError("llm down")
+            return super().structured(prompt, keys, task=task, **kw)
+
+    a = RAGAgent(Settings(), llm=BrokenLLM(),
+                 embed_service=FakeEmbedService(dim=64),
+                 cross_encoder=FakeCrossEncoder(),
+                 web=WebSearchTool(search_fn=_web_recorder(hits)))
+    out = a.tier3_agentic_search("what is a tpu")
+    web = [d for d in out if d.source == Source.WEB]
+    assert hits == ["what is a tpu"]
+    assert web and web[0].score == 0.7 and web[0].metadata["fallback"]
+
+
+def test_agent_rerank_score_set_by_cross_encoder(agent):
+    # cross-encoder path stamps rerank_score on precision intents
+    docs = [d for d in agent.reranker.rerank(
+        "what is the mxu", [RetrievedDoc(doc_id=i, score=0.01,
+                                         text=t) for i, t in enumerate(
+            ["the mxu multiplies matrices"] * 6)],
+        "question_answering")]
+    assert all(d.rerank_score is not None for d in docs)
+    assert agent.reranker.stats["reranked"] >= 1

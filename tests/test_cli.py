@@ -10,7 +10,7 @@ from optimized_rag_tpu.agent.agent import RAGAgent
 from optimized_rag_tpu.agent.llm import DeterministicLLM
 from optimized_rag_tpu.config import Settings
 
-from fakes import FakeEmbedder
+from fakes import FakeEmbedder, FakeCrossEncoder
 
 
 @pytest.fixture
@@ -20,7 +20,8 @@ def fast_agent_factory(tmp_path, monkeypatch):
         settings.data_dir = str(tmp_path / "data")
         store = MetadataStore(os.path.join(settings.data_dir, "metadata.db"))
         agent = RAGAgent(settings, llm=DeterministicLLM(),
-                         embed_service=FakeEmbedder(dim=32), store=store)
+                         embed_service=FakeEmbedder(dim=32), store=store,
+                         cross_encoder=FakeCrossEncoder())
         agent.load_indexes()   # mirror cli.build_agent restart behavior
         return agent
     monkeypatch.setattr(cli, "build_agent", factory)

@@ -395,3 +395,138 @@ def test_wrangler_adds_language_metadata():
     out = DataWrangler().process("the quick brown fox and the lazy dog "
                                  "that they were with")
     assert out["metadata"]["language"] == "en"
+
+
+# ------------------------------------------------- round-2 regression tests
+
+def test_rrf_merge_negative_and_mixed_ids():
+    """Core-memory (-1000-i), web (-(2000+i)), KG (-3000) and dense (0..n)
+    ids must all survive fusion (round-1 bug: negative ids were dropped or
+    crashed the kernel)."""
+    dense = _mk_docs([0.9, 0.8])
+    core = [RetrievedDoc(doc_id=-1000, score=0.7, text="core",
+                         source=Source.CORE_MEMORY)]
+    web = [RetrievedDoc(doc_id=-2000, score=0.6, text="web",
+                        source=Source.WEB)]
+    kg = [RetrievedDoc(doc_id=-3000, score=0.5, text="kg",
+                       source=Source.KNOWLEDGE_GRAPH)]
+    out = SelectiveReranker.rrf_merge([dense, core, web, kg], k_out=10)
+    ids = {(d.source, d.doc_id) for d in out}
+    assert (Source.CORE_MEMORY, -1000) in ids
+    assert (Source.WEB, -2000) in ids
+    assert (Source.KNOWLEDGE_GRAPH, -3000) in ids
+    assert len(out) == 5
+
+
+def test_rrf_merge_all_negative_ids():
+    l1 = [RetrievedDoc(doc_id=-1000, score=0.9, text="a",
+                       source=Source.CORE_MEMORY),
+          RetrievedDoc(doc_id=-1001, score=0.8, text="b",
+                       source=Source.CORE_MEMORY)]
+    l2 = [RetrievedDoc(doc_id=-1001, score=0.95, text="b",
+                       source=Source.CORE_MEMORY)]
+    out = SelectiveReranker.rrf_merge([l1, l2], k_out=5)
+    assert out[0].doc_id == -1001  # in both lists -> highest RRF
+    assert len(out) == 2
+
+
+def test_rrf_merge_scores_match_oracle():
+    l1 = _mk_docs([0.9, 0.8, 0.7])        # ids 0,1,2 at ranks 0,1,2
+    l2 = [RetrievedDoc(doc_id=1, score=0.95, text="d1")]
+    out = SelectiveReranker.rrf_merge([l1, l2], k_out=4, rrf_k=60.0)
+    got = {d.doc_id: d.score for d in out}
+    assert abs(got[1] - (1 / 62 + 1 / 61)) < 1e-9
+    assert abs(got[0] - 1 / 61) < 1e-9
+    assert abs(got[2] - 1 / 63) < 1e-9
+
+
+def test_rrf_merge_dedups_by_source_namespace():
+    """Same integer id in different namespaces = two distinct docs
+    (round-1 bug: chunk id 3 aliased archival id 3)."""
+    chunk = [RetrievedDoc(doc_id=3, score=0.9, text="chunk three",
+                          source=Source.DOCUMENTS)]
+    arch = [RetrievedDoc(doc_id=3, score=0.8, text="archival three",
+                         source=Source.ARCHIVAL)]
+    out = SelectiveReranker.rrf_merge([chunk, arch], k_out=5)
+    assert len(out) == 2
+    assert {d.text for d in out} == {"chunk three", "archival three"}
+
+
+def test_selective_routing_parity(embed):
+    """Factual intents -> cross-encoder; conversational -> embedding
+    reranker; fallback to the other when one is missing
+    (reference selective_reranker.py:188-226)."""
+    docs_factory = lambda: _mk_docs([0.01, 0.02, 0.01, 0.02, 0.01, 0.02])
+    both = SelectiveReranker(cross_encoder=FakeCrossEncoder(),
+                             embed_fn=embed)
+    both.rerank("tpu query", docs_factory(), Intent.FACT_CHECKING)
+    assert both.stats["reranked"] == 1
+    both.rerank("tpu query", docs_factory(), Intent.SEARCH)
+    assert both.stats["embedding_reranked"] == 1
+    # Fallbacks.
+    only_ce = SelectiveReranker(cross_encoder=FakeCrossEncoder())
+    only_ce.rerank("tpu query", docs_factory(), Intent.SEARCH)
+    assert only_ce.stats["reranked"] == 1
+    only_emb = SelectiveReranker(embed_fn=embed)
+    only_emb.rerank("tpu query", docs_factory(), Intent.FACT_CHECKING)
+    assert only_emb.stats["embedding_reranked"] == 1
+    neither = SelectiveReranker()
+    out = neither.rerank("tpu query", docs_factory(), Intent.FACT_CHECKING)
+    assert neither.stats["skipped"] == 1 and len(out) == 6
+
+
+def test_rerank_config_thresholds_wired():
+    from optimized_rag_tpu.config import RerankConfig
+    cfg = RerankConfig(high_variance_skip=0.5, low_variance_rerank=0.4,
+                       low_score_force=0.2)
+    sr = SelectiveReranker(cross_encoder=FakeCrossEncoder(), config=cfg)
+    assert sr.high_variance_skip == 0.5
+    assert sr.low_variance_rerank == 0.4
+    assert sr.low_score_force == 0.2
+
+
+def test_tier1_stopwords_do_not_score():
+    """'what is the project about' must not clear the tier-1 threshold on
+    function words alone (round-1 weak #10)."""
+    verbose_block = ("this is about what the user said and the things that "
+                     "were discussed in the project meeting notes overall")
+    hr = HierarchicalRetriever(
+        None, core_memory_fn=lambda: {"facts": verbose_block},
+        tier1_min_score=0.3)
+    docs = hr._retrieve_tier1("what is the project about")
+    # only "project" is a content term; overlap 1/1 -> hits legitimately;
+    # a pure function-word query must not hit at all
+    assert all("project" in d.text for d in docs)
+    assert hr._retrieve_tier1("what is this about") == []
+
+
+def test_tier3_receives_context_docs(retriever):
+    seen = {}
+
+    def tier3(query, intent, context_docs):
+        seen["docs"] = context_docs
+        return []
+
+    hr = HierarchicalRetriever(retriever, core_memory_fn=lambda: {},
+                               tier3_fn=tier3, escalation_threshold=0.99)
+    hr.retrieve("systolic arrays", intent=Intent.SEARCH)
+    assert seen["docs"], "tier-3 should see the tier-1/2 docs"
+
+
+def test_semantic_confidence_forces_escalation(retriever):
+    """Low Self-RAG semantic confidence escalates where raw scores alone
+    would not (reference hierarchical_retriever.py:86-90)."""
+    calls = []
+
+    def tier3(query, intent, docs):
+        calls.append(query)
+        return []
+
+    hr = HierarchicalRetriever(retriever, core_memory_fn=lambda: {},
+                               tier3_fn=tier3, escalation_threshold=0.55)
+    q = "tpus accelerate matrix multiplication with systolic arrays"
+    _, info = hr.retrieve(q, intent=Intent.SEARCH)
+    assert not calls, f"raw confidence {info['confidence']} should suffice"
+    _, info2 = hr.retrieve(q, intent=Intent.SEARCH, semantic_confidence=0.0)
+    assert calls, "semantic_confidence=0 must force tier-3"
+    assert info2["confidence"] < info["confidence"]

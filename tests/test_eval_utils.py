@@ -115,7 +115,7 @@ def test_stage_timer_spans_and_stats():
 def test_agent_timer_records_node_spans():
     import sys, os
     sys.path.insert(0, os.path.dirname(__file__))
-    from fakes import FakeEmbedder
+    from fakes import FakeEmbedder, FakeCrossEncoder
     from optimized_rag_tpu.agent.agent import RAGAgent
     from optimized_rag_tpu.agent.llm import DeterministicLLM
     from optimized_rag_tpu.config import Settings
@@ -125,7 +125,8 @@ def test_agent_timer_records_node_spans():
 
     s = Settings()
     s.flags.enable_metrics_export = False
-    a = RAGAgent(s, llm=DeterministicLLM(), embed_service=_Svc(dim=32))
+    a = RAGAgent(s, llm=DeterministicLLM(), embed_service=_Svc(dim=32),
+                 cross_encoder=FakeCrossEncoder())
     a.chat("hello there")
     stats = a.timer.stats()
     assert "generate_response" in stats and "retrieve_rag" in stats

@@ -11,13 +11,14 @@ from optimized_rag_tpu.agent.web import WebSearchTool
 from optimized_rag_tpu.config import Settings
 from optimized_rag_tpu.store.checkpoint import TrainCheckpointer
 
-from fakes import FakeEmbedder
+from fakes import FakeEmbedder, FakeCrossEncoder
 
 
 @pytest.fixture
 def agent():
     return RAGAgent(Settings(), llm=DeterministicLLM(),
                     embed_service=FakeEmbedder(dim=32),
+                    cross_encoder=FakeCrossEncoder(),
                     web=WebSearchTool(search_fn=lambda q, n: []))
 
 

@@ -12,13 +12,14 @@ from optimized_rag_tpu.config import Settings
 from optimized_rag_tpu.engine.types import Intent, RetrievedDoc, Source
 from optimized_rag_tpu.utils.health import check_device_health
 
-from fakes import FakeEmbedder
+from fakes import FakeEmbedder, FakeCrossEncoder
 
 
 @pytest.fixture
 def agent():
     a = RAGAgent(Settings(), llm=DeterministicLLM(),
                  embed_service=FakeEmbedder(dim=32),
+                 cross_encoder=FakeCrossEncoder(),
                  web=WebSearchTool(search_fn=lambda q, n: []))
     a.ingestor.ingest_text(
         "The MXU multiplies matrices. It is a 128x128 systolic array.")

@@ -9,7 +9,7 @@ from optimized_rag_tpu.store.kg import (
     KnowledgeGraphExtractor, KnowledgeGraphRetriever, parse_triple_lines)
 from optimized_rag_tpu.store.memory import MemoryManager
 
-from fakes import FakeEmbedder
+from fakes import FakeEmbedder, FakeCrossEncoder
 
 
 @pytest.fixture
@@ -181,7 +181,8 @@ def test_chat_updates_daily_metrics():
     s = Settings()
     s.flags.enable_metrics_export = False
     a = RAGAgent(s, llm=DeterministicLLM(),
-                 embed_service=FakeEmbedder(dim=32))
+                 embed_service=FakeEmbedder(dim=32),
+                 cross_encoder=FakeCrossEncoder())
     a.chat("hello")
     m = a.store.get_daily_metrics(s.agent_id)
     assert m.get("queries") == 1
