@@ -115,9 +115,14 @@ class DenseIndex:
     def get(self, ids) -> jax.Array:
         return self._emb[jnp.asarray(np.asarray(ids, np.int64))]
 
-    def search(self, queries, k: int, *, prefer_pallas=None
-               ) -> DenseSearchResult:
-        """Fused top-k over live rows. queries [B, dim] (any scale)."""
+    def search(self, queries, k: int, *, prefer_pallas=None,
+               approx_tile_k: int | None = None) -> DenseSearchResult:
+        """Fused top-k over live rows. queries [B, dim] (any scale).
+
+        Exact by default (dispatch_topk routes large corpora through the
+        tau-verified fast kernel). ``approx_tile_k`` opts into unverified
+        approximate extraction — see ops/topk.dispatch_topk.
+        """
         q = normalize(jnp.atleast_2d(jnp.asarray(queries)))
         if self.size == 0:
             b = q.shape[0]
@@ -129,7 +134,8 @@ class DenseIndex:
         kk = min(k + slack, self.size)
         scores, ids = dispatch_topk(q, self._emb, kk, size=self.size,
                                     prefer_pallas=prefer_pallas,
-                                    tile=self.tile)
+                                    tile=self.tile,
+                                    approx_tile_k=approx_tile_k)
         scores, ids = np.asarray(scores), np.asarray(ids, np.int64)
         if self._tombstones or kk > k:
             out_s = np.full((scores.shape[0], k), -np.inf, np.float32)

@@ -31,8 +31,16 @@ NUM_SPECIAL = 3
 BYTE_OFFSET = NUM_SPECIAL          # byte b -> id b + 3
 
 
-def encode_bytes(text: str, max_len: Optional[int] = None) -> np.ndarray:
-    ids = [BOS] + [b + BYTE_OFFSET for b in text.encode("utf-8")]
+def encode_bytes(text: str, max_len: Optional[int] = None,
+                 truncate: str = "right") -> np.ndarray:
+    """Byte-level encode with BOS. ``truncate``: "right" drops the tail
+    (training windows); "left" keeps the LAST max_len-1 bytes after BOS —
+    the right choice for generation prompts, where the question sits at
+    the end. Trimming counts encoded bytes, not characters."""
+    raw = text.encode("utf-8")
+    if max_len is not None and truncate == "left":
+        raw = raw[-(max_len - 1):]
+    ids = [BOS] + [b + BYTE_OFFSET for b in raw]
     if max_len is not None:
         ids = ids[:max_len]
     return np.asarray(ids, np.int32)
@@ -261,7 +269,8 @@ class Generator:
         ids = np.zeros((b, self.max_prompt_len), np.int32)
         pad_len = np.zeros(b, np.int32)
         for r, prompt in enumerate(prompts):
-            row = encode_bytes(prompt, self.max_prompt_len)
+            # Keep the prompt TAIL: in a RAG prompt the question comes last.
+            row = encode_bytes(prompt, self.max_prompt_len, truncate="left")
             pad_len[r] = self.max_prompt_len - len(row)
             ids[r, pad_len[r]:] = row
         toks = np.asarray(self._generate(
@@ -314,8 +323,10 @@ class LocalLMProvider:
 
     def complete(self, prompt: str, task: str = "", **kw) -> str:
         if task in ("generate", "cot", "synthesize"):
+            # No host-side char trim: the generator tail-trims by encoded
+            # bytes (UTF-8 chars may span several bytes).
             out = self.generator.generate(
-                prompt[-self.generator.max_prompt_len:],
+                prompt,
                 temperature=kw.get("temperature", self.temperature))
             if out.strip():
                 return out

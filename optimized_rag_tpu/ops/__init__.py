@@ -19,7 +19,8 @@ remote API call (SURVEY.md §2.3) lives here as a batched on-device op:
 from optimized_rag_tpu.ops.similarity import (
     normalize, cosine_matrix, pairwise_cosine, batched_cosine,
 )
-from optimized_rag_tpu.ops.topk import exact_topk, chunked_topk, pallas_topk
+from optimized_rag_tpu.ops.topk import (
+    exact_topk, chunked_topk, pallas_topk, pallas_topk_verified)
 from optimized_rag_tpu.ops.fusion import (
     rrf_fuse, weighted_fusion, temporal_decay, minmax_normalize,
 )

@@ -37,6 +37,13 @@ def dual_topk(q_emb, corpus, size, q_terms, q_valid, champ_docs, champ_tf,
     Returns (dense_s [B,k], dense_i [B,k], bm25_s [k], bm25_i [k]).
     q_emb [B,D] normalized; BM25 args as in ops/bm25.py.
     """
+    # ids ride back as float32 in the packed buffer below; float32 is only
+    # exact for integers < 2^24, so refuse corpora past that (checked at
+    # trace time — the shape is static). Larger corpora belong in
+    # ShardedDenseIndex / IVF, not this single-dispatch path.
+    assert corpus.shape[0] < (1 << 24), (
+        f"dual_topk id packing is exact only below 2^24 rows; "
+        f"got {corpus.shape[0]}")
     dense_s, dense_i = exact_topk(q_emb, corpus, k, size=size)
     scores = bm25_score_champions(q_terms, q_valid, champ_docs, champ_tf,
                                   champ_valid, idf, doc_len, avg_len,

@@ -20,7 +20,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from optimized_rag_tpu.ops.similarity import normalize
-from optimized_rag_tpu.ops.topk import chunked_topk, exact_topk, pallas_topk
+from optimized_rag_tpu.ops.topk import (
+    chunked_topk, exact_topk, pallas_topk, pallas_topk_verified)
 
 
 @functools.partial(
@@ -44,10 +45,15 @@ def sharded_topk(queries: jax.Array, corpus: jax.Array, k: int, *,
         size = sizes_local[0]
         kk = min(k, shard_rows)
         if impl == "pallas":
-            # tile_k=2 is safe at shard scale (tiles >> k per shard).
-            tk = 2 if shard_rows // tile >= 8 * kk else None
-            s, i = pallas_topk(q, c, kk, size=size, tile=tile, tile_k=tk,
-                               interpret=jax.default_backend() != "tpu")
+            interp = jax.default_backend() != "tpu"
+            if shard_rows // tile >= 8 * kk:
+                # Extraction-bound shard: fast 2-winner extraction with the
+                # tau-bound rescan keeping per-shard results exact.
+                s, i = pallas_topk_verified(q, c, kk, size=size, tile=tile,
+                                            tile_k=2, interpret=interp)
+            else:
+                s, i = pallas_topk(q, c, kk, size=size, tile=tile,
+                                   interpret=interp)
         elif impl == "chunked":
             s, i = chunked_topk(q, c, kk, size=size, chunk=chunk)
         else:
@@ -90,7 +96,13 @@ class ShardedDenseIndex:
         self._emb = jax.device_put(
             jnp.zeros((self.ndev * self.shard_capacity, dim), dtype),
             NamedSharding(mesh, P(axis, None)))
-        self._id_map: list[np.ndarray] = []  # global row id per insert order
+        # Persistent bidirectional id maps, maintained incrementally so a
+        # search is O(B*k) host work regardless of corpus size:
+        #   _rows_by_ext [size]          external id -> storage row
+        #   _row_to_ext  [ndev*capacity] storage row -> external id (-1)
+        self._rows_by_ext = np.zeros(0, np.int64)
+        self._row_to_ext = np.full(self.ndev * self.shard_capacity, -1,
+                                   np.int64)
 
     @property
     def size(self) -> int:
@@ -108,30 +120,51 @@ class ShardedDenseIndex:
             NamedSharding(self.mesh, P(self.axis, None)))
         self.shard_capacity = new_cap
         # Storage rows moved: shard s's block now starts at s*new_cap.
-        self._id_map = [
-            (rows // old_cap) * new_cap + rows % old_cap
-            for rows in self._id_map]
+        self._rows_by_ext = ((self._rows_by_ext // old_cap) * new_cap
+                             + self._rows_by_ext % old_cap)
+        self._row_to_ext = np.full(self.ndev * new_cap, -1, np.int64)
+        self._row_to_ext[self._rows_by_ext] = np.arange(
+            len(self._rows_by_ext))
+
+    def _water_fill(self, n: int) -> np.ndarray:
+        """Distribute n additions so shard sizes level out (bulk version
+        of fill-the-least-loaded-first). Returns per-shard counts."""
+        sizes = self._sizes.astype(np.int64)
+        counts = np.zeros(self.ndev, np.int64)
+        rem = n
+        while rem > 0:
+            mn = sizes.min()
+            lows = np.flatnonzero(sizes == mn)
+            higher = sizes[sizes > mn]
+            level = higher.min() if higher.size else mn + rem
+            take = min(rem, int(level - mn) * len(lows))
+            per, extra = divmod(take, len(lows))
+            add = np.full(len(lows), per, np.int64)
+            add[:extra] += 1
+            sizes[lows] += add
+            counts[lows] += add
+            rem -= take
+        return counts
 
     def add(self, embeddings) -> np.ndarray:
         """Append embeddings [n, dim]; returns dense external ids."""
         emb = normalize(jnp.asarray(embeddings)).astype(self.dtype)
         n = emb.shape[0]
-        ext_start = sum(len(m) for m in self._id_map)
-        # Balance: fill the least-loaded shard first.
-        placements = []
-        sizes = self._sizes.copy()
-        for _ in range(n):
-            s = int(np.argmin(sizes))
-            placements.append((s, int(sizes[s])))
-            sizes[s] += 1
-        while sizes.max() > self.shard_capacity:
+        ext_start = len(self._rows_by_ext)
+        counts = self._water_fill(n)
+        while (self._sizes + counts).max() > self.shard_capacity:
             self._grow()
-        rows = np.array([s * self.shard_capacity + slot
-                         for s, slot in placements], np.int64)
+        rows = np.concatenate([
+            s * self.shard_capacity
+            + np.arange(self._sizes[s], self._sizes[s] + counts[s],
+                        dtype=np.int64)
+            for s in range(self.ndev)])
         self._emb = self._emb.at[jnp.asarray(rows)].set(emb)
-        self._sizes = sizes
-        self._id_map.append(rows)
-        return np.arange(ext_start, ext_start + n, dtype=np.int64)
+        self._sizes = (self._sizes + counts).astype(np.int32)
+        ext = np.arange(ext_start, ext_start + n, dtype=np.int64)
+        self._rows_by_ext = np.concatenate([self._rows_by_ext, rows])
+        self._row_to_ext[rows] = ext
+        return ext
 
     def search(self, queries, k: int, impl: str = "auto"):
         q = normalize(jnp.atleast_2d(jnp.asarray(queries))).astype(jnp.float32)
@@ -145,11 +178,10 @@ class ShardedDenseIndex:
             sizes=jnp.asarray(self._sizes), axis=self.axis, impl=impl,
             tile=self.tile)
         scores, rows = np.asarray(scores), np.asarray(rows, np.int64)
-        # Map storage rows -> external ids.
-        all_rows = (np.concatenate(self._id_map) if self._id_map
-                    else np.zeros(0, np.int64))
-        row_to_ext = {int(r): e for e, r in enumerate(all_rows)}
-        ids = np.vectorize(lambda r: row_to_ext.get(int(r), -1))(rows)
+        # Map storage rows -> external ids via the persistent inverse
+        # array: O(B*k), independent of corpus size.
+        ids = self._row_to_ext[np.clip(rows, 0, len(self._row_to_ext) - 1)]
+        ids = np.where((rows >= 0) & np.isfinite(scores), ids, -1)
         if kk < k:
             pad = k - kk
             scores = np.pad(scores, ((0, 0), (0, pad)),

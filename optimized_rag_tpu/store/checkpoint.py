@@ -62,7 +62,13 @@ class TrainCheckpointer:
                     f"no checkpoints under {self.directory}")
         path = self._path(step)
         if self._ocp is not None and os.path.isdir(path):
-            return self._ocp.PyTreeCheckpointer().restore(path)
+            ckpt = self._ocp.PyTreeCheckpointer()
+            if like is None:
+                return ckpt.restore(path)
+            # Without a target, orbax returns namedtuples (optax opt_state)
+            # as plain dicts and tx.update breaks after resume — hand it
+            # the caller's structure.
+            return ckpt.restore(path, item=jax.device_get(like))
         assert like is not None, "npz fallback needs `like` structure"
         with np.load(path + ".npz") as z:
             leaves = [z[f"leaf_{i}"]

@@ -94,6 +94,7 @@ def test_checkpointer_roundtrip(tmp_path):
 
 def test_checkpointer_trainer_state(tmp_path, rng):
     """Save/restore a real trainer state and keep training."""
+    import jax
     import jax.numpy as jnp
     from optimized_rag_tpu.models.decoder import DecoderConfig, encode_bytes
     from optimized_rag_tpu.models.training import DecoderTrainer
@@ -111,6 +112,12 @@ def test_checkpointer_trainer_state(tmp_path, rng):
     tr2 = DecoderTrainer(cfg, mesh, learning_rate=1e-3)
     from optimized_rag_tpu.models.training import shard_params
     tr2.params = shard_params(restored["params"], mesh)
+    # Resume with the restored OPTIMIZER STATE too: the orbax path must
+    # hand back optax namedtuples (not plain dicts) or tx.update breaks.
+    tr2.opt_state = jax.tree_util.tree_map(
+        lambda x: x, restored["opt_state"])
+    assert jax.tree_util.tree_structure(restored["opt_state"]) \
+        == jax.tree_util.tree_structure(tr.opt_state)
     loss = tr2.train_step(ids)
     assert np.isfinite(loss)
 

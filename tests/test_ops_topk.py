@@ -94,3 +94,82 @@ def test_recall_at_10_is_one_vs_oracle(rng):
     recall = np.mean([
         len(set(i[r]) & set(oracle_i[r])) / 10 for r in range(len(q))])
     assert recall == 1.0
+
+
+# ------------------------------------------ round-2: verified exact kernel
+
+def _clustered_case(rng, b=4, d=32, tile=128, tiles=80, k=10):
+    """Corpus where each query's full top-k lands inside ONE tile — the
+    adversarial case for tile_k<k extraction (RAG corpora store chunks of
+    one document contiguously)."""
+    n = tile * tiles
+    q = np.asarray(normalize(jnp.asarray(
+        rng.standard_normal((b, d), dtype=np.float32))))
+    c = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    for bi in range(b):
+        t0 = (bi * 7 + 3) * tile          # a distinct tile per query
+        c[t0:t0 + k] = q[bi] + 0.01 * rng.standard_normal((k, d))
+    c = np.asarray(normalize(jnp.asarray(c)))
+    return q, c, n
+
+
+def test_pallas_tile_k_lt_k_is_approximate(rng):
+    """Documents the failure mode: unverified tile_k=2 drops clustered
+    winners (this is why approximation is opt-in)."""
+    q, c, n = _clustered_case(rng)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, i = pallas_topk(jnp.asarray(q), jnp.asarray(c), 10, tile=128,
+                       tile_k=2, interpret=True)
+    i = np.asarray(i)
+    recall = np.mean([len(set(i[r]) & set(oracle_i[r])) / 10
+                      for r in range(len(q))])
+    assert recall <= 0.3, f"expected heavy loss, got recall {recall}"
+
+
+def test_pallas_topk_verified_exact_on_clustered(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_verified
+    q, c, n = _clustered_case(rng)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, i = pallas_topk_verified(jnp.asarray(q), jnp.asarray(c), 10,
+                                tile=128, tile_k=2, interpret=True)
+    _check(s, i, oracle_s, oracle_i)
+    assert set(np.asarray(i)[0]) == set(oracle_i[0])
+
+
+def test_pallas_topk_verified_random_and_padding(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_verified
+    q, c = _make(rng, b=8, n=128 * 40, d=64)
+    size = 128 * 40 - 77
+    oracle_s, oracle_i = _oracle_topk(q, c, 10, size=size)
+    s, i = pallas_topk_verified(jnp.asarray(q), jnp.asarray(c), 10,
+                                size=size, tile=128, tile_k=2,
+                                interpret=True)
+    _check(s, i, oracle_s, oracle_i)
+
+
+def test_pallas_topk_verified_query_chunking(rng):
+    """mem_budget forcing lax.map over query chunks must not change
+    results."""
+    from optimized_rag_tpu.ops.topk import pallas_topk_verified
+    q, c, n = _clustered_case(rng, b=8)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, i = pallas_topk_verified(jnp.asarray(q), jnp.asarray(c), 10,
+                                tile=128, tile_k=2, interpret=True,
+                                mem_budget=128 * 10 * 32 * 4 * 2)
+    _check(s, i, oracle_s, oracle_i)
+
+
+def test_dispatch_approx_opt_in(rng):
+    """approx_tile_k is an explicit opt-in; default dispatch stays exact."""
+    q, c, n = _clustered_case(rng)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, i = dispatch_topk(jnp.asarray(q), jnp.asarray(c), 10,
+                         prefer_pallas=True, tile=128)
+    _check(s, i, oracle_s, oracle_i)
+    _, i_approx = dispatch_topk(jnp.asarray(q), jnp.asarray(c), 10,
+                                prefer_pallas=True, tile=128,
+                                approx_tile_k=2)
+    i_approx = np.asarray(i_approx)
+    recall = np.mean([len(set(i_approx[r]) & set(oracle_i[r])) / 10
+                      for r in range(len(q))])
+    assert recall < 1.0
