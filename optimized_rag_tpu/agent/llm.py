@@ -111,6 +111,15 @@ class DeterministicLLM:
             return "\n".join(f"{s}|{r}|{o}" for s, r, o in facts[:10])
         if task == "generate":
             return self._generate(prompt)
+        if task == "conversation_reference":
+            # Vote IS_REFERENCE when the query names conversation artifacts
+            # or points backwards; NOT_REFERENCE otherwise.
+            q = self._query_of(prompt).lower()
+            cues = ("question", "answer", "said", "asked", "earlier",
+                    "mention", "pergunt", "respost", "disse", "convers",
+                    "isso", "aquilo")
+            hit = any(c in q for c in cues)
+            return ("IS_REFERENCE 0.8" if hit else "NOT_REFERENCE 0.8")
         # default echo
         return self._query_of(prompt)
 

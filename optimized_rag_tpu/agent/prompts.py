@@ -169,6 +169,17 @@ from the text. Output ONE per line as: subject|relation|object
 Text: {text}
 Triples:"""
 
+CONVERSATION_REFERENCE_PROMPT = """Does the user's query refer to this
+conversation itself (an earlier question, answer, or topic of the
+dialogue) rather than asking for new information?
+
+Recent conversation:
+{history}
+
+Query: {query}
+
+Reply IS_REFERENCE or NOT_REFERENCE followed by a confidence 0.0-1.0."""
+
 REFINE_PROMPT = """The previous retrieval missed. Rewrite the query with
 different words to find the answer.
 

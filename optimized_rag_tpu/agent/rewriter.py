@@ -61,31 +61,167 @@ def is_conversation_context_query(query: str) -> bool:
     return any(rx.search(query) for rx in _CONTEXT_QUERY_RES)
 
 
+# PT/EN coreference cue lexicons (reference
+# conversation_reference_detector.py:267-357, re-written).
+_ORDINALS = ("primeir", "segund", "terceir", "quart", "quint", "ultim",
+             "penultim", "anterior", "first", "second", "third", "fourth",
+             "fifth", "last", "previous", "prior", "preceding")
+_DEMONSTRATIVES = ("isso", "isto", "aquilo", "esse", "este", "aquele",
+                   "dessa", "desta", "daquela", "nessa", "nesta",
+                   "this", "that", "these", "those")
+_TEMPORAL_CUES = ("antes", "agora ha pouco", "voce disse", "você disse",
+                  "eu disse", "falamos", "mencionou", "perguntei",
+                  "respondeu", "conversamos", "earlier", "just now",
+                  "you said", "i said", "we discussed", "mentioned",
+                  "asked", "answered", "talked about")
+_META_TERMS = ("pergunta", "resposta", "conversa", "topico", "tópico",
+               "assunto", "discussao", "discussão", "dialogo", "diálogo",
+               "questao", "questão", "question", "answer", "conversation",
+               "topic", "subject", "discussion", "dialogue")
+_NOT_SELF_CONTAINED = ("qual foi", "o que foi", "what was", "voce falou",
+                       "você falou", "eu disse", "we talked", "sobre isso",
+                       "about that", "about this", "a pergunta",
+                       "the question", "antes", "earlier", "previously")
+_SELF_CONTAINED = ("o que e", "o que é", "what is", "como funciona",
+                   "how does", "how do", "por que", "why", "quem e",
+                   "quem é", "who is", "onde fica", "where is")
+
+
 class ConversationReferenceDetector:
+    """Three-technique ensemble (reference
+    conversation_reference_detector.py:50-528): semantic similarity to the
+    history (one batched on-device cosine), PT/EN coreference heuristics
+    (ordinal / demonstrative / temporal / meta cues with a self-contained
+    damper), and an LLM fallback consulted only for the ambiguous middle
+    band; results combine by weighted vote (:465-528)."""
+
     def __init__(self, embed_fn: Optional[Callable] = None, llm=None,
-                 semantic_threshold: float = 0.55):
+                 semantic_threshold: float = 0.75,
+                 enable_llm_fallback: bool = True):
         self.embed_fn = embed_fn
         self.llm = llm
         self.semantic_threshold = semantic_threshold
+        self.enable_llm_fallback = enable_llm_fallback
+
+    # -- technique 1: semantic similarity (reference :113-196) --------------
+
+    def _semantic(self, query: str, history: Sequence[Dict]) -> Dict:
+        if self.embed_fn is None or not history:
+            return {"is_reference": False, "confidence": 0.0}
+        texts = [str(m.get("content", ""))[:500] for m in history[-10:]]
+        texts = [t for t in texts if t]
+        if not texts:
+            return {"is_reference": False, "confidence": 0.0}
+        embs = np.atleast_2d(self.embed_fn([query] + texts))
+        sims = np.asarray(cosine_matrix(jnp.asarray(embs[:1]),
+                                        jnp.asarray(embs[1:])))[0]
+        best = int(np.argmax(sims))
+        best_sim = float(sims[best])
+        short = len(query.split()) <= 10
+        hit = (short and best_sim > self.semantic_threshold) \
+            or best_sim > 0.85
+        return {"is_reference": hit, "confidence": max(best_sim, 0.0),
+                "referenced_index": best if hit else None}
+
+    # -- technique 2: coreference heuristics (reference :204-265) -----------
+
+    def _coreference(self, query: str, history: Sequence[Dict]) -> Dict:
+        ql = query.lower()
+        words = ql.split()
+        score, reasons = 0.0, []
+        if any(o in ql for o in _ORDINALS):
+            score += 0.4
+            reasons.append("ordinal")
+        if len(words) <= 6 and any(d in words for d in _DEMONSTRATIVES):
+            score += 0.25
+            reasons.append("demonstrative")
+        if any(t in ql for t in _TEMPORAL_CUES):
+            score += 0.2
+            reasons.append("temporal")
+        if any(m in ql for m in _META_TERMS):
+            score += 0.35
+            reasons.append("meta")
+        if self._self_contained(ql):
+            score *= 0.5
+        if len(reasons) >= 2:
+            score = min(score * 1.2, 1.0)
+        ref_idx = self._resolve_ordinal(ql, len(history)) if history else None
+        return {"is_reference": score > 0.5, "confidence": score,
+                "reasons": reasons, "referenced_index": ref_idx}
+
+    @staticmethod
+    def _self_contained(ql: str) -> bool:
+        if any(i in ql for i in _NOT_SELF_CONTAINED):
+            return False
+        return any(i in ql for i in _SELF_CONTAINED)
+
+    @staticmethod
+    def _resolve_ordinal(ql: str, n: int) -> Optional[int]:
+        if n == 0:
+            return None
+        for cues, idx in ((("primeir", "first"), 0),
+                          (("segund", "second"), 1),
+                          (("terceir", "third"), 2),
+                          (("penultim", "second to last"), max(n - 2, 0)),
+                          (("ultim", "last", "anterior", "previous"), n - 1)):
+            if any(c in ql for c in cues):
+                return idx
+        return None
+
+    # -- technique 3: LLM fallback (reference :383-463) ----------------------
+
+    def _llm_vote(self, query: str, history: Sequence[Dict]) -> Dict:
+        if self.llm is None:
+            return {"is_reference": False, "confidence": 0.0}
+        recent = "\n".join(
+            f"{m.get('role', 'user')}: {str(m.get('content', ''))[:150]}"
+            for m in history[-5:]) or "(empty)"
+        try:
+            raw = self.llm.complete(prompts.CONVERSATION_REFERENCE_PROMPT
+                                    .format(history=recent, query=query),
+                                    task="conversation_reference")
+        except Exception:
+            return {"is_reference": False, "confidence": 0.0}
+        up = raw.upper()
+        is_ref = "IS_REFERENCE" in up and "NOT_REFERENCE" not in up
+        m = re.search(r"[01]?\.\d+|[01]\b", raw)
+        conf = float(m.group(0)) if m else (0.7 if is_ref else 0.3)
+        return {"is_reference": is_ref, "confidence": conf}
+
+    # -- ensemble (reference :465-528) ---------------------------------------
 
     def detect(self, query: str, history: Sequence[Dict]) -> Dict:
-        """Ensemble of pattern + semantic + (optional) LLM signals
-        (reference :465-528)."""
-        votes = []
+        history = list(history or [])
         pattern_hit = any(rx.search(query) for rx in _REF_RES)
-        votes.append(pattern_hit)
-        semantic_hit = False
-        if self.embed_fn is not None and history:
-            texts = [m["content"] for m in history[-10:]]
-            embs = np.atleast_2d(self.embed_fn([query] + texts))
-            sims = np.asarray(cosine_matrix(jnp.asarray(embs[:1]),
-                                            jnp.asarray(embs[1:])))[0]
-            semantic_hit = bool(sims.max() >= self.semantic_threshold) \
-                and pattern_hit  # semantic alone is too trigger-happy
-            votes.append(semantic_hit)
-        is_ref = pattern_hit or (sum(votes) >= 2)
-        return {"is_reference": is_ref, "pattern": pattern_hit,
-                "semantic": semantic_hit}
+        sem = self._semantic(query, history)
+        if sem["is_reference"] and sem["confidence"] > 0.85:
+            return {"is_reference": True, "method": "semantic",
+                    "confidence": sem["confidence"], "pattern": pattern_hit,
+                    "semantic": True,
+                    "referenced_index": sem.get("referenced_index")}
+        coref = self._coreference(query, history)
+        if coref["is_reference"] and coref["confidence"] > 0.8:
+            return {"is_reference": True, "method": "coreference",
+                    "confidence": coref["confidence"],
+                    "pattern": pattern_hit, "semantic": sem["is_reference"],
+                    "referenced_index": coref.get("referenced_index")}
+        results = [(sem, 0.35), (coref, 0.30)]
+        ambiguous = (0.4 < max(sem["confidence"], coref["confidence"])
+                     and history)
+        if self.enable_llm_fallback and ambiguous:
+            results.append((self._llm_vote(query, history), 0.35))
+        total_w = sum(w for _, w in results)
+        weighted = sum(r["confidence"] * w
+                       for r, w in results if r["is_reference"]) / total_w
+        votes = sum(1 for r, _ in results
+                    if r["is_reference"] and r["confidence"] > 0.5)
+        is_ref = weighted > 0.5 or votes >= 2 or pattern_hit
+        return {"is_reference": is_ref, "method": "ensemble",
+                "confidence": max(weighted,
+                                  *(r["confidence"] for r, _ in results)),
+                "pattern": pattern_hit, "semantic": sem["is_reference"],
+                "referenced_index": coref.get("referenced_index")
+                or sem.get("referenced_index")}
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,24 @@ def _env(name: str, default, cast=None):
     return cast(raw)
 
 
+def _cast_like(raw: str, current):
+    """Cast an env string to the type of the current field value."""
+    if isinstance(current, bool):
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        parts = [p.strip() for p in raw.split(",") if p.strip()]
+        elem = current[0] if current else raw
+        return tuple(_cast_like(p, elem) for p in parts)
+    if isinstance(current, dict):
+        import json
+        return json.loads(raw)
+    return raw
+
+
 # ---------------------------------------------------------------------------
 # Chunking / ingestion  (reference: config.py:25-27, rag/chunking.py)
 # ---------------------------------------------------------------------------
@@ -281,14 +299,70 @@ class Settings:
     data_dir: str = field(default_factory=lambda: _env("ORAG_DATA_DIR", ".orag"))
     agent_id: str = "default"
 
+    # Short aliases kept from round 1 (documented in .env.example).
+    _ENV_ALIASES = {
+        "ORAG_EMBED_DIM": ("encoder", "dim"),
+        "ORAG_CHUNK_SIZE": ("chunking", "chunk_size"),
+        "ORAG_CHUNK_OVERLAP": ("chunking", "chunk_overlap"),
+        "ORAG_TOP_K": ("retrieval", "top_k"),
+    }
+
     @classmethod
-    def from_env(cls) -> "Settings":
+    def from_env(cls, environ=None) -> "Settings":
+        """Build Settings with every field overridable from the
+        environment: ``ORAG_<SECTION>_<FIELD>`` (e.g.
+        ORAG_TIERS_ESCALATION_THRESHOLD=0.6, ORAG_FLAGS_ENABLE_KG=0).
+        Tuples are comma-separated; dicts are JSON. Mirrors the
+        reference's ~80 env-driven constants and ~25 flags
+        (config.py:116-226, optimization_config.py:97-105); the full list
+        is generated into .env.example (python -m optimized_rag_tpu
+        env-example).
+        """
+        env = os.environ if environ is None else environ
         s = cls()
-        s.encoder.dim = _env("ORAG_EMBED_DIM", s.encoder.dim)
-        s.chunking.chunk_size = _env("ORAG_CHUNK_SIZE", s.chunking.chunk_size)
-        s.chunking.chunk_overlap = _env("ORAG_CHUNK_OVERLAP", s.chunking.chunk_overlap)
-        s.retrieval.top_k = _env("ORAG_TOP_K", s.retrieval.top_k)
+        for section_field in dataclasses.fields(s):
+            section = getattr(s, section_field.name)
+            if not dataclasses.is_dataclass(section):
+                continue
+            prefix = f"ORAG_{section_field.name.upper()}_"
+            for f in dataclasses.fields(section):
+                raw = env.get(prefix + f.name.upper())
+                if raw is not None:
+                    setattr(section, f.name,
+                            _cast_like(raw, getattr(section, f.name)))
+        for name, (sec, fld) in cls._ENV_ALIASES.items():
+            raw = env.get(name)
+            if raw is not None:
+                obj = getattr(s, sec)
+                setattr(obj, fld, _cast_like(raw, getattr(obj, fld)))
+        s.data_dir = env.get("ORAG_DATA_DIR", s.data_dir)
+        s.agent_id = env.get("ORAG_AGENT_ID", s.agent_id)
         return s
+
+    @classmethod
+    def env_var_names(cls):
+        """All recognized (env var, default) pairs, for .env.example."""
+        s = cls()
+        out = []
+        for section_field in dataclasses.fields(s):
+            section = getattr(s, section_field.name)
+            if not dataclasses.is_dataclass(section):
+                continue
+            for f in dataclasses.fields(section):
+                val = getattr(section, f.name)
+                if isinstance(val, tuple):
+                    shown = ",".join(str(v) for v in val)
+                elif isinstance(val, dict):
+                    import json
+                    shown = json.dumps(val)
+                else:
+                    shown = val
+                out.append((section_field.name,
+                            f"ORAG_{section_field.name.upper()}_"
+                            f"{f.name.upper()}", shown))
+        out.append(("root", "ORAG_DATA_DIR", s.data_dir))
+        out.append(("root", "ORAG_AGENT_ID", s.agent_id))
+        return out
 
     def replace(self, **kw) -> "Settings":
         return dataclasses.replace(self, **kw)

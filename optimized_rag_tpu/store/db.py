@@ -112,6 +112,15 @@ CREATE TABLE IF NOT EXISTS daily_metrics (
 );
 """
 
+# Versioned migration chain (reference run_migration.py:33-41 tracks
+# applied migrations in a schema_migrations table). Append new entries —
+# never edit an applied one; every statement must be safe on a database
+# created by any earlier version (hence IF NOT EXISTS in migration 1,
+# which also adopts round-1 databases that predate version tracking).
+_MIGRATIONS: List[tuple] = [
+    (1, _SCHEMA),
+]
+
 
 class MetadataStore:
     def __init__(self, path: str = ":memory:"):
@@ -125,8 +134,26 @@ class MetadataStore:
                                        check_same_thread=False) \
             if path == ":memory:" else None
         self._lock = threading.Lock()
-        with self._conn() as c:
-            c.executescript(_SCHEMA)
+        self._migrate()
+
+    def _migrate(self) -> None:
+        """Apply unapplied migrations in order, recording each."""
+        c = self._conn()
+        c.execute("CREATE TABLE IF NOT EXISTS schema_migrations ("
+                  "version INTEGER PRIMARY KEY, applied_at REAL NOT NULL)")
+        applied = {r[0] for r in c.execute(
+            "SELECT version FROM schema_migrations").fetchall()}
+        for version, sql in _MIGRATIONS:
+            if version in applied:
+                continue
+            c.executescript(sql)
+            c.execute("INSERT INTO schema_migrations (version, applied_at)"
+                      " VALUES (?, ?)", (version, time.time()))
+            c.commit()
+
+    def schema_version(self) -> int:
+        rows = self.execute("SELECT MAX(version) FROM schema_migrations")
+        return int(rows[0][0] or 0)
 
     def _conn(self) -> sqlite3.Connection:
         if self._shared is not None:

@@ -363,3 +363,69 @@ def test_agent_rerank_score_set_by_cross_encoder(agent):
         "question_answering")]
     assert all(d.rerank_score is not None for d in docs)
     assert agent.reranker.stats["reranked"] >= 1
+
+
+# --------------------------------- round-2: conversation-reference ensemble
+
+def _detector(with_llm=True):
+    from optimized_rag_tpu.agent.rewriter import ConversationReferenceDetector
+    return ConversationReferenceDetector(
+        embed_fn=FakeEmbedService(dim=64),
+        llm=DeterministicLLM() if with_llm else None)
+
+
+_HISTORY = [
+    {"role": "user", "content": "what is a tensor processing unit?"},
+    {"role": "assistant", "content": "a tpu is a matrix accelerator."},
+    {"role": "user", "content": "how fast is the memory bandwidth?"},
+    {"role": "assistant", "content": "hundreds of gigabytes per second."},
+]
+
+
+def test_detector_coreference_english_ordinal():
+    d = _detector()
+    out = d.detect("what was my first question?", _HISTORY)
+    assert out["is_reference"]
+    assert out["referenced_index"] == 0
+
+
+def test_detector_coreference_portuguese():
+    d = _detector()
+    out = d.detect("qual foi a primeira pergunta?", _HISTORY)
+    assert out["is_reference"]
+    assert out["referenced_index"] == 0
+    out2 = d.detect("sobre o que conversamos antes?", _HISTORY)
+    assert out2["is_reference"]
+
+
+def test_detector_self_contained_not_flagged():
+    d = _detector()
+    assert not d.detect("what is machine learning?", _HISTORY)[
+        "is_reference"]
+    assert not d.detect("por que o ceu e azul de dia?", _HISTORY)[
+        "is_reference"]
+
+
+def test_detector_ambiguous_resolved_by_llm_vote():
+    """A mid-confidence case: meta+temporal cues give coref ~0.66 — a
+    single vote below the 0.8 early-exit. The LLM vote supplies the second
+    vote; without the LLM the ensemble stays below the 2-vote bar."""
+    q = "can you expand on the answer that was mentioned?"
+    with_llm = _detector(True).detect(q, _HISTORY)
+    without = _detector(False).detect(q, _HISTORY)
+    assert with_llm["is_reference"]
+    assert with_llm["method"] == "ensemble"
+    assert not without["is_reference"]
+
+
+def test_detector_semantic_near_duplicate_short_query():
+    d = _detector(False)
+    out = d.detect("what is a tensor processing unit?", _HISTORY)
+    assert out["is_reference"] and out["confidence"] > 0.85
+    assert out["method"] == "semantic"
+
+
+def test_detector_no_history_is_never_reference():
+    d = _detector()
+    assert not d.detect("what was my first question?", [])[
+        "referenced_index"]

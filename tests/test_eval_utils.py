@@ -141,3 +141,57 @@ def test_settings_from_env(monkeypatch):
     assert s.encoder.dim == 512
     assert s.chunking.chunk_size == 800
     assert s.retrieval.top_k == 7
+
+
+# --------------------------------------------- round-2: full env surface
+
+def test_from_env_overrides_every_subsystem(monkeypatch):
+    from optimized_rag_tpu.config import Settings
+    env = {
+        "ORAG_FLAGS_ENABLE_KG": "0",
+        "ORAG_TIERS_ESCALATION_THRESHOLD": "0.25",
+        "ORAG_VERIFICATION_MIN_SUPPORT_RATIO": "0.9",
+        "ORAG_LOOPS_PROGRESSIVE_TOP_K": "20,12,6",
+        "ORAG_CONTEXT_INTENT_THRESHOLDS": '{"chat": 0.9}',
+        "ORAG_RERANK_ENABLE_CROSS_ENCODER": "false",
+        "ORAG_EMBED_DIM": "128",           # legacy alias still works
+        "ORAG_AGENT_ID": "envtest",
+    }
+    s = Settings.from_env(env)
+    assert s.flags.enable_kg is False
+    assert s.tiers.escalation_threshold == 0.25
+    assert s.verification.min_support_ratio == 0.9
+    assert s.loops.progressive_top_k == (20, 12, 6)
+    assert s.context.intent_thresholds == {"chat": 0.9}
+    assert s.rerank.enable_cross_encoder is False
+    assert s.encoder.dim == 128
+    assert s.agent_id == "envtest"
+
+
+def test_env_flag_flips_agent_end_to_end():
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    from optimized_rag_tpu.config import Settings
+    from fakes import FakeCrossEncoder, FakeEmbedder
+    s = Settings.from_env({"ORAG_FLAGS_ENABLE_KG": "0",
+                           "ORAG_TIERS_ESCALATION_THRESHOLD": "0.11",
+                           "ORAG_FLAGS_ENABLE_METRICS_EXPORT": "0"})
+    a = RAGAgent(s, llm=DeterministicLLM(),
+                 embed_service=FakeEmbedder(dim=32),
+                 cross_encoder=FakeCrossEncoder())
+    assert a.kg_retriever is None
+    assert a.hierarchical.threshold == 0.11
+
+
+def test_env_example_covers_all_vars(tmp_path):
+    from optimized_rag_tpu import cli
+    from optimized_rag_tpu.config import Settings
+    out = tmp_path / "env.example"
+
+    class _A:
+        output = str(out)
+
+    cli.cmd_env_example(_A())
+    text = out.read_text()
+    for _, name, _ in Settings.env_var_names():
+        assert name in text, name

@@ -186,3 +186,55 @@ def test_chat_updates_daily_metrics():
     a.chat("hello")
     m = a.store.get_daily_metrics(s.agent_id)
     assert m.get("queries") == 1
+
+
+# -------------------------------------------- round-2: schema migrations
+
+def test_schema_migrations_tracked(tmp_path):
+    from optimized_rag_tpu.store.db import MetadataStore
+    db = str(tmp_path / "m.db")
+    s = MetadataStore(db)
+    assert s.schema_version() == 1
+    # reopening does not reapply
+    s2 = MetadataStore(db)
+    assert s2.schema_version() == 1
+    rows = s2.execute("SELECT COUNT(*) FROM schema_migrations")
+    assert rows[0][0] == 1
+
+
+def test_schema_migration_adopts_unversioned_db(tmp_path):
+    """A round-1 database (tables but no schema_migrations) is adopted and
+    stamped instead of corrupted."""
+    import sqlite3
+    from optimized_rag_tpu.store.db import MetadataStore, _SCHEMA
+    db = str(tmp_path / "old.db")
+    conn = sqlite3.connect(db)
+    conn.executescript(_SCHEMA)     # simulate a round-1 data dir
+    conn.execute("INSERT INTO core_memory VALUES ('a', 'facts', 'kept', 1)")
+    conn.commit()
+    conn.close()
+    s = MetadataStore(db)
+    assert s.schema_version() == 1
+    rows = s.execute("SELECT content FROM core_memory WHERE agent_id='a'")
+    assert rows[0][0] == "kept"
+
+
+def test_snapshot_version_stamp(tmp_path):
+    import json
+    import numpy as np
+    from optimized_rag_tpu.index import snapshot
+    snapshot.save_state(str(tmp_path), "x", {"a": np.ones(3), "k": 5})
+    meta = json.load(open(tmp_path / "x.json"))
+    assert meta["__format_version__"] == snapshot.SNAPSHOT_FORMAT_VERSION
+    state = snapshot.load_state(str(tmp_path), "x")
+    assert state["k"] == 5 and "__format_version__" not in state
+    # round-1 snapshot without a stamp still loads
+    meta.pop("__format_version__")
+    json.dump(meta, open(tmp_path / "x.json", "w"))
+    assert snapshot.load_state(str(tmp_path), "x")["k"] == 5
+    # a FUTURE version refuses
+    meta["__format_version__"] = 99
+    json.dump(meta, open(tmp_path / "x.json", "w"))
+    import pytest
+    with pytest.raises(ValueError, match="newer"):
+        snapshot.load_state(str(tmp_path), "x")
