@@ -99,12 +99,49 @@ def mesh_validate() -> None:
           "recall_at_10": recall_at_k(run.ids, oracle)})
 
 
+def mesh_ivf_validate() -> None:
+    """BASELINE config[4] composition: cluster-partitioned IVF over the
+    mesh, recall@10 vs the exact oracle (gate: >= exact-parity on the
+    clustered eval; pruning must not cost recall at the chosen nprobe)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from optimized_rag_tpu.parallel.mesh import make_mesh
+    from optimized_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+    mesh = make_mesh(data=8)
+    n, d, k, b = 8 * 8192, 128, 10, 32
+    corpus = make_corpus(n, d, clusters=256)
+    rng = np.random.default_rng(3)
+    q = corpus[rng.integers(0, n, b)] \
+        + 0.05 * rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    idx = ShardedIVFIndex(mesh, num_clusters=256, nprobe=48,
+                          kmeans_iters=8, tile=1024)
+    import time
+    t0 = time.time()
+    idx.build(corpus)
+    build_s = time.time() - t0
+    oracle = np.argsort(-(q @ corpus.T), axis=1)[:, :k]
+    sweep = {}
+    for nprobe in (8, 16, 32, 48):
+        def run():
+            run.out = idx.search(q, k=k, nprobe=nprobe)
+            _ = run.out[1]
+        dt = timed(run, iters=5)
+        sweep[nprobe] = {"qps": round(b / dt, 1),
+                         "recall_at_10": recall_at_k(run.out[1], oracle)}
+        log(f"mesh-ivf nprobe={nprobe}: {sweep[nprobe]}")
+    emit({"stage": 4, "metric": "sharded_mesh_ivf", "devices": 8,
+          "n": n, "clusters": idx.num_clusters_built,
+          "build_seconds": round(build_s, 1), "nprobe_sweep": sweep})
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "ivf10m"
-    if which == "mesh":
+    if which in ("mesh", "mesh-ivf"):
         import os
         os.environ.setdefault("XLA_FLAGS",
                               "--xla_force_host_platform_device_count=8")
-        mesh_validate()
+        mesh_validate() if which == "mesh" else mesh_ivf_validate()
     else:
         ivf10m()

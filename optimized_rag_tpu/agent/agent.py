@@ -64,19 +64,35 @@ class RAGAgent:
         self.llm = llm or DeterministicLLM()
         s = self.settings
 
-        # Models (on-device; built lazily if not injected).
+        # Models (on-device; built lazily if not injected). Trained
+        # checkpoints auto-load — search order: <data_dir>/models, then the
+        # repo's bundled checkpoints/pretrained (models/pretrain.py); the
+        # checkpoint's own config wins so architecture always matches the
+        # trained weights.
+        from optimized_rag_tpu.models.pretrain import (
+            find_checkpoint_dir, load_pretrained)
+        ckpt_dir = find_checkpoint_dir(s.data_dir)
         if embed_service is None:
             from optimized_rag_tpu.models.encoder import (
                 EmbeddingService, TransformerConfig)
-            embed_service = EmbeddingService(
-                TransformerConfig(
-                    vocab_size=s.encoder.vocab_size,
-                    hidden_dim=s.encoder.hidden_dim,
-                    num_layers=s.encoder.num_layers,
-                    num_heads=s.encoder.num_heads,
-                    mlp_dim=s.encoder.mlp_dim,
-                    out_dim=s.encoder.dim),
-                max_len=128, cache_size=s.encoder.cache_size)
+            loaded = load_pretrained(ckpt_dir, "biencoder") \
+                if ckpt_dir else None
+            if loaded is not None:
+                cfg, params = loaded
+                embed_service = EmbeddingService(
+                    cfg, params=params,
+                    max_len=min(cfg.max_seq_len, 128),
+                    cache_size=s.encoder.cache_size)
+            else:
+                embed_service = EmbeddingService(
+                    TransformerConfig(
+                        vocab_size=s.encoder.vocab_size,
+                        hidden_dim=s.encoder.hidden_dim,
+                        num_layers=s.encoder.num_layers,
+                        num_heads=s.encoder.num_heads,
+                        mlp_dim=s.encoder.mlp_dim,
+                        out_dim=s.encoder.dim),
+                    max_len=128, cache_size=s.encoder.cache_size)
         self.embedder = embed_service
         self.embed_fn = embed_service.encode
         # The reference always loads its cross-encoder rerank stage
@@ -84,13 +100,21 @@ class RAGAgent:
         if cross_encoder is None and s.rerank.enable_cross_encoder:
             from optimized_rag_tpu.models.encoder import (
                 CrossEncoderService, TransformerConfig as _TC)
-            cross_encoder = CrossEncoderService(
-                _TC(vocab_size=s.encoder.vocab_size,
-                    hidden_dim=s.cross_encoder.hidden_dim,
-                    num_layers=s.cross_encoder.num_layers,
-                    num_heads=s.cross_encoder.num_heads,
-                    mlp_dim=s.cross_encoder.mlp_dim),
-                max_len=min(s.cross_encoder.max_seq_len, 256))
+            loaded = load_pretrained(ckpt_dir, "crossencoder") \
+                if ckpt_dir else None
+            if loaded is not None:
+                ccfg, cparams = loaded
+                cross_encoder = CrossEncoderService(
+                    ccfg, params=cparams,
+                    max_len=min(ccfg.max_seq_len, 256))
+            else:
+                cross_encoder = CrossEncoderService(
+                    _TC(vocab_size=s.encoder.vocab_size,
+                        hidden_dim=s.cross_encoder.hidden_dim,
+                        num_layers=s.cross_encoder.num_layers,
+                        num_heads=s.cross_encoder.num_heads,
+                        mlp_dim=s.cross_encoder.mlp_dim),
+                    max_len=min(s.cross_encoder.max_seq_len, 256))
         self.cross_encoder = cross_encoder
 
         # Storage + indexes.
@@ -199,6 +223,44 @@ class RAGAgent:
             self.tools.register(t)
 
         self.graph = self._build_graph()
+
+    # ---------------------------------------------------------- index policy
+
+    def maybe_upgrade_index(self) -> str:
+        """Consult the index policy (index/policy.py) and (re)build an ANN
+        candidate source when the corpus scale warrants one. The exact
+        DenseIndex always remains the store of record: the ANN covers the
+        built segment, exact search covers the fresh tail, and the
+        retriever unions both. Returns the active index kind."""
+        from optimized_rag_tpu.index.policy import (
+            build_index_for, mesh_or_none, select_index_kind)
+        s = self.settings
+        mesh = mesh_or_none(s)
+        n_dev = mesh.shape[s.mesh.data_axis] if mesh is not None else 1
+        kind = select_index_kind(self.dense.size, n_dev,
+                                 ivf_min_size=s.ivf.ivf_min_size,
+                                 shard_min_size=s.ivf.shard_min_size)
+        if kind == "dense":
+            self.retriever.ann = None
+            self.retriever.ann_size = 0
+            return kind
+        expected = {"ivf": "IVFIndex", "sharded_dense": "ShardedDenseIndex",
+                    "sharded_ivf": "ShardedIVFIndex"}[kind]
+        stale = (self.retriever.ann is None
+                 or self.retriever.ann_size * s.ivf.rebuild_growth
+                 <= self.dense.size
+                 or type(self.retriever.ann).__name__ != expected)
+        if stale:
+            ann = build_index_for(kind, self.dense.dim, s, mesh=mesh,
+                                  tile=self.dense.tile)
+            emb = self.dense.embeddings()[: self.dense.size]
+            if hasattr(ann, "build"):          # IVF family: frozen build
+                ann.build(emb)
+            else:                              # sharded dense: appendable
+                ann.add(emb)
+            self.retriever.ann = ann
+            self.retriever.ann_size = self.dense.size
+        return kind
 
     # ----------------------------------------------------------------- tier3
 

@@ -116,6 +116,11 @@ class IVFConfig:
     kmeans_iters: int = 12
     min_points_per_cluster: int = 4
     oversample: float = 1.3         # candidate oversampling for recall safety
+    # Index policy thresholds (index/policy.py; docs/RESULTS_r1.md: exact
+    # fused brute force wins single-chip below the streaming budget).
+    ivf_min_size: int = 4_000_000
+    shard_min_size: int = 250_000
+    rebuild_growth: float = 2.0     # rebuild ANN when corpus grows this much
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,13 @@ class HybridRetriever:
                  source: Source = Source.DOCUMENTS,
                  candidate_k: int = 50):
         self.dense = dense
+        # Optional ANN candidate source (IVFIndex / ShardedIVFIndex /
+        # ShardedDenseIndex) installed by the index policy at scale
+        # (index/policy.py). It covers rows [0, ann_size); the exact
+        # DenseIndex covers the freshly-added tail, and candidates are
+        # the union — freshness never costs recall.
+        self.ann = None
+        self.ann_size = 0
         self.lexical = lexical
         self.embed_fn = embed_fn
         self.get_text = get_text
@@ -68,15 +75,31 @@ class HybridRetriever:
         return self.hybrid_search(query, top_k, intent, weights,
                                   query_embedding)
 
+    def _ann_candidates(self, q: np.ndarray, k: int):
+        """ANN over the built segment unioned with exact search over the
+        post-build tail. Returns (scores [B,k], ids [B,k])."""
+        s1, i1 = self.ann.search(q, k)
+        tail = self.dense.search_tail(q, k, self.ann_size)
+        s = np.concatenate([s1, tail.scores], axis=1)
+        i = np.concatenate([np.asarray(i1, np.int64), tail.ids], axis=1)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(s, order, axis=1),
+                np.take_along_axis(i, order, axis=1))
+
     def dense_only(self, query: str, top_k: int,
                    query_embedding: Optional[np.ndarray] = None
                    ) -> List[RetrievedDoc]:
         q = (query_embedding if query_embedding is not None
              else self.embed_fn([query]))
-        res = self.dense.search(np.atleast_2d(q), k=top_k)
+        q = np.atleast_2d(q)
+        if self.ann is not None and self.ann_size > 0:
+            scores, ids = self._ann_candidates(q, top_k)
+        else:
+            res = self.dense.search(q, k=top_k)
+            scores, ids = res.scores, res.ids
         out = []
-        for score, did in zip(res.scores[0], res.ids[0]):
-            if did < 0:
+        for score, did in zip(scores[0], ids[0]):
+            if did < 0 or not np.isfinite(score):
                 continue
             out.append(self._mk(int(did), float(score),
                                 semantic=float(score)))
@@ -99,6 +122,7 @@ class HybridRetriever:
         # then one fused gather+score+blend dispatch below. Falls back to
         # separate dispatches when tombstones force oversample+filter.
         if self.lexical is not None and self.lexical.size > 0 \
+                and self.ann is None \
                 and not self.dense._tombstones and self.dense.size > 0:
             from optimized_rag_tpu.ops.hybrid import dual_topk
             if self.lexical._device is None:
@@ -121,8 +145,14 @@ class HybridRetriever:
             lex_scores = {int(i): float(s)
                           for s, i in zip(bs, bi) if i >= 0 and s > 0.0}
         else:
-            dres = self.dense.search(q, k=min(ck, max(self.dense.size, 1)))
-            dense_ids = [int(i) for i in dres.ids[0] if i >= 0]
+            kk = min(ck, max(self.dense.size, 1))
+            if self.ann is not None and self.ann_size > 0:
+                dscores, dids = self._ann_candidates(q, kk)
+                dense_ids = [int(i) for s_, i in zip(dscores[0], dids[0])
+                             if i >= 0 and np.isfinite(s_)]
+            else:
+                dres = self.dense.search(q, k=kk)
+                dense_ids = [int(i) for i in dres.ids[0] if i >= 0]
             lex_scores = {}
             if self.lexical is not None and self.lexical.size > 0:
                 ls, li = self.lexical.search(query, k=ck)

@@ -149,6 +149,38 @@ class DenseIndex:
             return DenseSearchResult(out_s, out_i)
         return DenseSearchResult(scores, ids)
 
+    def search_tail(self, queries, k: int, from_row: int
+                    ) -> DenseSearchResult:
+        """Exact search restricted to rows [from_row, size) — the segment
+        added since an ANN index was last built. The policy layer unions
+        this with the ANN candidates so freshness never costs recall."""
+        q = normalize(jnp.atleast_2d(jnp.asarray(queries)))
+        b = q.shape[0]
+        n_tail = self.size - from_row
+        if n_tail <= 0:
+            return DenseSearchResult(
+                np.full((b, k), -np.inf, np.float32),
+                np.full((b, k), -1, np.int64))
+        start = (from_row // self.tile) * self.tile  # tile-aligned slice
+        tail = jax.lax.dynamic_slice(
+            self._emb, (start, 0),
+            (_round_up(self.size - start, self.tile), self.dim))
+        # Oversample by the alignment slack so pre-from_row rows caught by
+        # the tile-aligned slice cannot crowd out genuine tail rows.
+        kk = min(k + (from_row - start), self.size - start)
+        scores, ids = dispatch_topk(q, tail, kk, size=self.size - start,
+                                    tile=self.tile)
+        scores = np.asarray(scores)
+        ids = np.asarray(ids, np.int64) + start
+        valid = (ids >= from_row) & (ids < self.size) & np.isfinite(scores)
+        out_s = np.full((b, k), -np.inf, np.float32)
+        out_i = np.full((b, k), -1, np.int64)
+        for r in range(b):
+            cols = np.flatnonzero(valid[r])[:k]
+            out_s[r, :len(cols)] = scores[r, cols]
+            out_i[r, :len(cols)] = ids[r, cols]
+        return DenseSearchResult(out_s, out_i)
+
     # ------------------------------------------------------------- snapshot
 
     def state_dict(self) -> dict:

@@ -37,8 +37,12 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "window"))
 def _ivf_search(q, centroids, sorted_emb, starts, counts, k: int,
-                nprobe: int, window: int):
+                nprobe: int, window: int, owned=None):
     """q [B,D] normalized; sorted_emb [Npad, D]; starts/counts [C].
+
+    ``owned`` [C] bool restricts probing to a cluster subset (the
+    mesh-sharded composition masks each shard to its own clusters —
+    parallel/sharded_ivf.py); None probes everything.
 
     Returns (scores [B,k], slots [B,k]) where slots index sorted_emb rows.
     """
@@ -46,6 +50,8 @@ def _ivf_search(q, centroids, sorted_emb, starts, counts, k: int,
     npad = sorted_emb.shape[0]
     cent_scores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)   # [B, C]
+    if owned is not None:
+        cent_scores = jnp.where(owned[None, :], cent_scores, NEG_INF)
     _, probe = jax.lax.top_k(cent_scores, nprobe)                # [B, nprobe]
 
     def scan_probe(carry, p):

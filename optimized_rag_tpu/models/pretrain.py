@@ -1,0 +1,286 @@
+"""Self-supervised pretraining pipeline for the retrieval models.
+
+The reference never trains anything — it rents frozen embeddings and
+rerankers over HTTP (memory/embeddings.py:62, rag/reranker.py:313). Here
+the models are first-class JAX modules, and this module produces TRAINED
+checkpoints from any text corpus with zero labels:
+
+  * Bi-encoder — Inverse Cloze Task (ICT): the query is a random word
+    span drawn from a chunk, the positive is the chunk itself; in-batch
+    negatives drive the symmetric InfoNCE loss (models/training.py).
+  * Cross-encoder — pointwise relevance: (span, own chunk) -> 1,
+    (span, random other chunk) -> 0, sigmoid BCE.
+  * Decoder LM — next-byte cross-entropy over sliding windows.
+
+Checkpoints persist as flattened npz + a config JSON side file so
+services can be reconstructed with the exact architecture that was
+trained (models/loader.py). ``load_pretrained`` is what RAGAgent uses to
+auto-load shipped or user-trained weights.
+
+All trainers run on the (data, model) mesh — a single chip is just the
+1x1 mesh — so the same entry points drive multi-chip training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+import time
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from optimized_rag_tpu.models import loader
+from optimized_rag_tpu.models.encoder import TransformerConfig
+
+_WORDS = re.compile(r"[\w#]+")
+
+
+# ---------------------------------------------------------------------------
+# Example synthesis (self-supervised, label-free)
+# ---------------------------------------------------------------------------
+
+def ict_pairs(texts: Sequence[str], rng: np.random.Generator, n: int,
+              min_span: int = 2, max_span: int = 8):
+    """Inverse-Cloze-Task pairs: (query span, source chunk)."""
+    queries, docs = [], []
+    words_per = [_WORDS.findall(t.lower()) for t in texts]
+    usable = [i for i, w in enumerate(words_per) if len(w) >= min_span]
+    if not usable:
+        raise ValueError("no usable training texts")
+    picks = rng.choice(usable, n)
+    for i in picks:
+        words = words_per[i]
+        span = int(rng.integers(min_span, max_span + 1))
+        start = int(rng.integers(0, max(len(words) - span, 0) + 1))
+        queries.append(" ".join(words[start:start + span]))
+        docs.append(texts[i])
+    return queries, docs, picks
+
+
+def _encode_batch(tokenizer, texts, max_len):
+    return tokenizer.encode_batch(list(texts), max_len)
+
+
+# ---------------------------------------------------------------------------
+# Trainers
+# ---------------------------------------------------------------------------
+
+def train_biencoder(texts: Sequence[str], cfg: TransformerConfig,
+                    mesh, steps: int = 200, batch: int = 64,
+                    learning_rate: float = 3e-4, max_len: int = 64,
+                    seed: int = 0,
+                    log: Optional[Callable[[str], None]] = None):
+    """ICT-pretrain a BiEncoder; returns (params, last_loss)."""
+    from optimized_rag_tpu.models.tokenizer import HashTokenizer
+    from optimized_rag_tpu.models.training import BiEncoderTrainer
+    rng = np.random.default_rng(seed)
+    tok = HashTokenizer(cfg.vocab_size, max_len)
+    trainer = BiEncoderTrainer(cfg, mesh, learning_rate=learning_rate,
+                               seed=seed)
+    loss = float("nan")
+    t0 = time.time()
+    for step in range(steps):
+        q, d, _ = ict_pairs(texts, rng, batch)
+        q_ids, q_mask = _encode_batch(tok, q, max_len)
+        d_ids, d_mask = _encode_batch(tok, d, max_len)
+        loss = trainer.train_step(q_ids, q_mask, d_ids, d_mask)
+        if log and (step % 25 == 0 or step == steps - 1):
+            log(f"biencoder step {step}: loss={loss:.4f} "
+                f"({time.time() - t0:.0f}s)")
+    return trainer.params, loss
+
+
+def train_cross_encoder(texts: Sequence[str], cfg: TransformerConfig,
+                        mesh, steps: int = 200, batch: int = 64,
+                        learning_rate: float = 3e-4, max_len: int = 96,
+                        seed: int = 0,
+                        log: Optional[Callable[[str], None]] = None):
+    """Pointwise-pretrain a CrossEncoder; returns (params, last_loss)."""
+    from optimized_rag_tpu.models.tokenizer import HashTokenizer
+    from optimized_rag_tpu.models.training import CrossEncoderTrainer
+    rng = np.random.default_rng(seed)
+    tok = HashTokenizer(cfg.vocab_size, max_len)
+    trainer = CrossEncoderTrainer(cfg, mesh, learning_rate=learning_rate,
+                                  seed=seed)
+    loss = float("nan")
+    t0 = time.time()
+    half = batch // 2
+    for step in range(steps):
+        q, d, picks = ict_pairs(texts, rng, half)
+        # negatives: same spans against different chunks
+        neg_idx = rng.integers(0, len(texts), half)
+        neg_idx = np.where(neg_idx == picks,
+                           (neg_idx + 1) % len(texts), neg_idx)
+        pairs = [(qq, dd) for qq, dd in zip(q, d)] + \
+                [(qq, texts[j]) for qq, j in zip(q, neg_idx)]
+        labels = np.concatenate([np.ones(half, np.float32),
+                                 np.zeros(half, np.float32)])
+        ids, mask, types = tok.encode_pairs(pairs, max_len)
+        loss = trainer.train_step(ids, mask, types, labels)
+        if log and (step % 25 == 0 or step == steps - 1):
+            log(f"cross-encoder step {step}: loss={loss:.4f} "
+                f"({time.time() - t0:.0f}s)")
+    return trainer.params, loss
+
+
+def train_decoder(texts: Sequence[str], cfg, mesh, steps: int = 200,
+                  batch: int = 32, learning_rate: float = 3e-4,
+                  seed: int = 0,
+                  log: Optional[Callable[[str], None]] = None):
+    """Next-byte LM pretraining; returns (params, last_loss)."""
+    from optimized_rag_tpu.models.decoder import PAD, encode_bytes
+    from optimized_rag_tpu.models.training import DecoderTrainer
+    rng = np.random.default_rng(seed)
+    corpus = "\n".join(texts)
+    window = cfg.max_seq_len
+    trainer = DecoderTrainer(cfg, mesh, learning_rate=learning_rate,
+                             seed=seed)
+    raw = corpus.encode("utf-8")
+    loss = float("nan")
+    t0 = time.time()
+    for step in range(steps):
+        rows = np.full((batch, window), PAD, np.int32)
+        for r in range(batch):
+            start = int(rng.integers(0, max(len(raw) - window, 0) + 1))
+            ids = encode_bytes(raw[start:start + window - 1]
+                               .decode("utf-8", errors="replace"), window)
+            rows[r, :len(ids)] = ids
+        loss = trainer.train_step(rows)
+        if log and (step % 25 == 0 or step == steps - 1):
+            log(f"decoder step {step}: loss={loss:.4f} "
+                f"({time.time() - t0:.0f}s)")
+    return trainer.params, loss
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint round-trip (params + architecture config side file)
+# ---------------------------------------------------------------------------
+
+def save_pretrained(path: str, name: str, params, cfg,
+                    store_dtype=None) -> None:
+    """Persist params (npz) + the architecture config (json).
+
+    ``store_dtype`` (e.g. np.float16) halves on-disk size; weights are
+    restored to float32 on load (inference computes in bfloat16 anyway,
+    so the cast is lossless in practice)."""
+    import jax
+    params = jax.device_get(params)
+    if store_dtype is not None:
+        params = jax.tree.map(
+            lambda x: x.astype(store_dtype)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            params)
+    loader.save_params(path, name, params)
+    blob = dataclasses.asdict(cfg)
+    if "dtype" in blob:
+        try:
+            blob["dtype"] = np.dtype(blob["dtype"]).name
+        except TypeError:
+            blob["dtype"] = "bfloat16"
+    with open(os.path.join(path, f"{name}.config.json"), "w") as f:
+        json.dump(blob, f, indent=1, default=str)
+
+
+def load_pretrained(path: str, name: str):
+    """Returns (cfg, params) or None when no checkpoint exists."""
+    cfg_path = os.path.join(path, f"{name}.config.json")
+    params_path = os.path.join(path, f"{name}.params.npz")
+    if not (os.path.exists(cfg_path) and os.path.exists(params_path)):
+        return None
+    with open(cfg_path) as f:
+        blob = json.load(f)
+    import jax.numpy as jnp
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "float16": jnp.float16}.get(str(blob.get("dtype", "bfloat16")),
+                                         jnp.bfloat16)
+    if "out_dim" in blob:  # encoder family
+        cfg = TransformerConfig(
+            vocab_size=int(blob["vocab_size"]),
+            hidden_dim=int(blob["hidden_dim"]),
+            num_layers=int(blob["num_layers"]),
+            num_heads=int(blob["num_heads"]),
+            mlp_dim=int(blob["mlp_dim"]),
+            max_seq_len=int(blob["max_seq_len"]),
+            num_types=int(blob.get("num_types", 2)),
+            out_dim=int(blob["out_dim"]),
+            dtype=dtype)
+    else:  # decoder family
+        from optimized_rag_tpu.models.decoder import DecoderConfig
+        cfg = DecoderConfig(
+            vocab_size=int(blob["vocab_size"]),
+            hidden_dim=int(blob["hidden_dim"]),
+            num_layers=int(blob["num_layers"]),
+            num_heads=int(blob["num_heads"]),
+            mlp_dim=int(blob["mlp_dim"]),
+            max_seq_len=int(blob["max_seq_len"]),
+            dtype=dtype)
+    import jax
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        loader.load_params(path, name))
+    return cfg, params
+
+
+def find_checkpoint_dir(data_dir: str) -> Optional[str]:
+    """Search order: user data dir, then the repo's bundled checkpoints."""
+    candidates = [
+        os.path.join(data_dir, "models"),
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "checkpoints", "pretrained"),
+    ]
+    for c in candidates:
+        if os.path.exists(os.path.join(c, "biencoder.params.npz")):
+            return c
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly + end-to-end pretraining run
+# ---------------------------------------------------------------------------
+
+def default_corpus(extra_texts: Sequence[str] = ()) -> List[str]:
+    """Training corpus: the synthetic topic dataset (gives the eval its
+    known-relevance structure) mixed with any real chunks supplied."""
+    from optimized_rag_tpu.eval.synthetic import make_dataset
+    ds = make_dataset(num_docs=600, num_topics=30, num_queries=1,
+                      seed=1234)
+    return list(extra_texts) + ds.texts
+
+
+def pretrain_all(out_dir: str, texts: Sequence[str], *,
+                 encoder_cfg: TransformerConfig,
+                 cross_cfg: TransformerConfig,
+                 decoder_cfg=None, mesh=None, steps: int = 200,
+                 batch: int = 64, store_dtype=None, decoder_texts=None,
+                 log: Optional[Callable[[str], None]] = print) -> dict:
+    """Train bi-encoder + cross-encoder (+ decoder) and persist all three.
+    Returns summary losses."""
+    from optimized_rag_tpu.parallel.mesh import make_mesh
+    import jax
+    if mesh is None:
+        n = len(jax.devices())
+        mesh = make_mesh(data=n, model=1)
+    out = {}
+    params, loss = train_biencoder(texts, encoder_cfg, mesh, steps=steps,
+                                   batch=batch, log=log)
+    save_pretrained(out_dir, "biencoder", params, encoder_cfg,
+                    store_dtype=store_dtype)
+    out["biencoder_loss"] = loss
+    params, loss = train_cross_encoder(texts, cross_cfg, mesh, steps=steps,
+                                       batch=batch, log=log)
+    save_pretrained(out_dir, "crossencoder", params, cross_cfg,
+                    store_dtype=store_dtype)
+    out["crossencoder_loss"] = loss
+    if decoder_cfg is not None:
+        params, loss = train_decoder(decoder_texts or texts, decoder_cfg,
+                                     mesh, steps=steps,
+                                     batch=max(batch // 2, 8), log=log)
+        save_pretrained(out_dir, "decoder", params, decoder_cfg,
+                        store_dtype=store_dtype)
+        out["decoder_loss"] = loss
+    return out

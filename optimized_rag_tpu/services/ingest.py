@@ -82,6 +82,7 @@ class DocumentIngestor:
             a.cost_tracker.track_embedding(
                 sum(len(t) // 4 for t in texts),
                 device_seconds=time.time() - t0)
+        a.maybe_upgrade_index()  # index policy check (index/policy.py)
         return {"ok": True, "document_id": doc_id, "chunks": len(texts),
                 "kg_triples": triples,
                 "quality": wrangled["quality_score"],

@@ -15,7 +15,7 @@ from fakes import FakeEmbedder, FakeCrossEncoder
 
 @pytest.fixture
 def fast_agent_factory(tmp_path, monkeypatch):
-    def factory(settings, offline=True):
+    def factory(settings, offline=True, **kw):
         from optimized_rag_tpu.store.db import MetadataStore
         settings.data_dir = str(tmp_path / "data")
         store = MetadataStore(os.path.join(settings.data_dir, "metadata.db"))

@@ -180,3 +180,65 @@ def test_ivf_custom_ids_and_snapshot(tmp_path, rng):
     ivf2 = IVFIndex.from_state_dict(load_state(str(tmp_path), "ivf"))
     _, ids2 = ivf2.search(q, k=1)
     assert ids2[0, 0] == 42 * 7
+
+
+# --------------------------------------------- round-2: index policy
+
+def test_select_index_kind_matrix():
+    from optimized_rag_tpu.index.policy import select_index_kind
+    f = lambda n, d: select_index_kind(n, d, ivf_min_size=4_000_000,
+                                       shard_min_size=250_000)
+    assert f(10_000, 1) == "dense"
+    assert f(5_000_000, 1) == "ivf"
+    assert f(10_000, 8) == "dense"
+    assert f(300_000, 8) == "sharded_dense"
+    assert f(5_000_000, 8) == "sharded_ivf"
+
+
+def test_dense_search_tail(rng):
+    from optimized_rag_tpu.index.dense import DenseIndex
+    idx = DenseIndex(dim=16, capacity_block=512, tile=256)
+    old = rng.standard_normal((300, 16)).astype(np.float32)
+    new = rng.standard_normal((80, 16)).astype(np.float32)
+    idx.add(old)
+    idx.add(new)
+    q = new[:4]
+    res = idx.search_tail(q, k=5, from_row=300)
+    assert (res.ids[:, 0] == np.arange(300, 304)).all()
+    assert (res.ids.flatten() >= 300).sum() + (res.ids.flatten() == -1).sum() \
+        == res.ids.size
+    empty = idx.search_tail(q, k=5, from_row=idx.size)
+    assert (empty.ids == -1).all()
+
+
+def test_agent_policy_upgrades_to_ivf(rng):
+    """With tiny thresholds the agent installs an IVF ANN after ingest and
+    retrieval unions ANN + exact tail."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fakes import FakeCrossEncoder, FakeEmbedder
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    from optimized_rag_tpu.config import Settings
+    s = Settings()
+    s.ivf.ivf_min_size = 8           # force IVF immediately
+    s.flags.enable_metrics_export = False
+    s.flags.enable_kg = False
+    a = RAGAgent(s, llm=DeterministicLLM(),
+                 embed_service=FakeEmbedder(dim=32),
+                 cross_encoder=FakeCrossEncoder())
+    for i in range(12):
+        a.ingestor.ingest_text(
+            f"document number {i} about topic{i % 4} with words "
+            f"alpha{i} beta{i} gamma{i} " * 4, filename=f"d{i}.txt")
+    assert a.dense.size >= 8
+    kind = a.maybe_upgrade_index()
+    assert kind == "ivf"
+    assert type(a.retriever.ann).__name__ == "IVFIndex"
+    built = a.retriever.ann_size
+    # fresh post-build ingest must still be retrievable (exact tail union)
+    a.ingestor.ingest_text("zebra quagga okapi unique animal words",
+                           filename="fresh.txt")
+    assert a.dense.size > built
+    docs = a.retriever.dense_only("zebra quagga okapi unique animal", 5)
+    assert any("zebra" in d.text for d in docs), [d.text[:30] for d in docs]

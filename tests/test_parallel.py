@@ -158,3 +158,54 @@ def test_sharded_index_search_host_work_is_o_k(rng):
     # python dict per query costs ~0.5s+. Generous bound catches the
     # O(N) regression without flaking on slow CI.
     assert search_s < 2.0, f"search took {search_s:.2f}s"
+
+
+# ------------------------------------------------- round-2: sharded IVF
+
+def test_partition_clusters_balances():
+    from optimized_rag_tpu.parallel.sharded_ivf import partition_clusters
+    counts = np.array([100, 90, 10, 10, 10, 10, 50, 40, 30, 20])
+    shard_of = partition_clusters(counts, 4)
+    load = np.zeros(4, np.int64)
+    np.add.at(load, shard_of, counts)
+    assert load.max() - load.min() <= 100  # no shard dominated
+
+
+def test_sharded_ivf_recall_vs_oracle(rng):
+    from optimized_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+    mesh = make_mesh(data=8)
+    n, d, k = 8192, 32, 10
+    # clustered corpus so IVF pruning is meaningful
+    centers = _unit(rng, 64, d)
+    docs = centers[rng.integers(0, 64, n)] + \
+        0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = docs[rng.integers(0, n, 16)] + \
+        0.05 * rng.standard_normal((16, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    idx = ShardedIVFIndex(mesh, num_clusters=64, nprobe=16,
+                          kmeans_iters=8, tile=256)
+    idx.build(docs)
+    scores, ids = idx.search(q, k)
+    oracle = np.argsort(-(q @ docs.T), axis=1)[:, :k]
+    recall = np.mean([len(set(ids[r]) & set(oracle[r])) / k
+                      for r in range(len(q))])
+    assert recall >= 0.9, recall
+    # scores must be true cosines for the returned ids
+    got = q[0] @ docs[ids[0, 0]]
+    assert abs(got - scores[0, 0]) < 1e-3
+
+
+def test_sharded_ivf_external_ids_and_small_k(rng):
+    from optimized_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+    mesh = make_mesh(data=8)
+    docs = _unit(rng, 1024, 16)
+    ext = np.arange(1024, dtype=np.int64) + 5000
+    idx = ShardedIVFIndex(mesh, num_clusters=16, nprobe=16, tile=256)
+    idx.build(docs, ids=ext)
+    scores, ids = idx.search(docs[:4], k=3)
+    assert (ids[:, 0] == ext[:4]).all()
+    # k larger than corpus pads with -1
+    _, ids2 = idx.search(docs[:2], k=2000)
+    assert (ids2 >= -1).all() and ids2.shape == (2, 2000)

@@ -96,3 +96,112 @@ def test_store_thread_safety():
     assert not errors
     assert store.get_daily_metrics("agent")["writes"] == 200
     assert len(store.get_recent_messages("agent", 500)) == 200
+
+
+import jax.numpy as jnp
+
+
+# --------------------------------------------- round-2: pretrain pipeline
+
+def test_pretrain_biencoder_beats_random_init(tmp_path):
+    """ICT pretraining must lift synthetic recall@10 over random init
+    (VERDICT r1 #3 'trained must win')."""
+    import numpy as np
+    from optimized_rag_tpu.eval.synthetic import (
+        evaluate_retriever, make_dataset)
+    from optimized_rag_tpu.index.dense import DenseIndex
+    from optimized_rag_tpu.models import pretrain
+    from optimized_rag_tpu.models.encoder import (
+        EmbeddingService, TransformerConfig)
+    from optimized_rag_tpu.parallel.mesh import make_mesh
+
+    cfg = TransformerConfig(vocab_size=2048, hidden_dim=64, num_layers=2,
+                            num_heads=4, mlp_dim=128, max_seq_len=64,
+                            out_dim=64, dtype=jnp.float32)
+    train_ds = make_dataset(num_docs=300, num_topics=12, num_queries=1,
+                            seed=5)
+    mesh = make_mesh(data=8, model=1)
+    params, loss = pretrain.train_biencoder(
+        train_ds.texts, cfg, mesh, steps=60, batch=32, max_len=48,
+        learning_rate=1e-3)
+    assert np.isfinite(loss)
+    pretrain.save_pretrained(str(tmp_path), "biencoder", params, cfg)
+    loaded = pretrain.load_pretrained(str(tmp_path), "biencoder")
+    assert loaded is not None
+    lcfg, lparams = loaded
+    assert lcfg.hidden_dim == 64
+
+    eval_ds = make_dataset(num_docs=200, num_topics=12, num_queries=30,
+                           seed=77)
+
+    def recall(service):
+        idx = DenseIndex(dim=service.dim, capacity_block=512, tile=256)
+        idx.add(service.encode(eval_ds.texts))
+
+        def retrieve(q, k):
+            return idx.search(service.encode([q]), k).ids[0].tolist()
+        return evaluate_retriever(retrieve, eval_ds, k=10)["recall@10"]
+
+    trained = recall(EmbeddingService(lcfg, params=lparams, max_len=48))
+    random_init = recall(EmbeddingService(cfg, max_len=48, seed=3))
+    assert trained > random_init + 0.05, (trained, random_init)
+
+
+def test_pretrain_cross_encoder_separates_pos_neg():
+    from optimized_rag_tpu.eval.synthetic import make_dataset
+    from optimized_rag_tpu.models import pretrain
+    from optimized_rag_tpu.models.encoder import (
+        CrossEncoderService, TransformerConfig)
+    from optimized_rag_tpu.parallel.mesh import make_mesh
+    import numpy as np
+
+    cfg = TransformerConfig(vocab_size=2048, hidden_dim=64, num_layers=2,
+                            num_heads=4, mlp_dim=128, max_seq_len=64,
+                            dtype=jnp.float32)
+    ds = make_dataset(num_docs=200, num_topics=10, num_queries=1, seed=6)
+    mesh = make_mesh(data=8, model=1)
+    params, loss = pretrain.train_cross_encoder(
+        ds.texts, cfg, mesh, steps=60, batch=32, max_len=64,
+        learning_rate=1e-3)
+    assert np.isfinite(loss)
+    svc = CrossEncoderService(cfg, params=params, max_len=64)
+    # a query span from doc 0 must outscore a random other doc
+    span = " ".join(ds.texts[0].split()[:5])
+    scores = svc.score_pairs(span, [ds.texts[0], ds.texts[50]])
+    assert scores[0] > scores[1], scores
+
+
+def test_agent_autoloads_checkpoints(tmp_path):
+    """RAGAgent must pick up <data_dir>/models checkpoints and configure
+    services from the checkpoint's own architecture."""
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    from optimized_rag_tpu.config import Settings
+    from optimized_rag_tpu.eval.synthetic import make_dataset
+    from optimized_rag_tpu.models import pretrain
+    from optimized_rag_tpu.models.encoder import TransformerConfig
+    from optimized_rag_tpu.parallel.mesh import make_mesh
+
+    cfg = TransformerConfig(vocab_size=2048, hidden_dim=32, num_layers=1,
+                            num_heads=2, mlp_dim=64, max_seq_len=64,
+                            out_dim=32, dtype=jnp.float32)
+    ds = make_dataset(num_docs=60, num_topics=6, num_queries=1, seed=8)
+    mesh = make_mesh(data=8, model=1)
+    models_dir = tmp_path / "data" / "models"
+    params, _ = pretrain.train_biencoder(ds.texts, cfg, mesh, steps=5,
+                                         batch=16, max_len=32)
+    pretrain.save_pretrained(str(models_dir), "biencoder", params, cfg)
+    cparams, _ = pretrain.train_cross_encoder(ds.texts, cfg, mesh, steps=5,
+                                              batch=16, max_len=32)
+    pretrain.save_pretrained(str(models_dir), "crossencoder", cparams, cfg)
+
+    s = Settings()
+    s.data_dir = str(tmp_path / "data")
+    s.flags.enable_metrics_export = False
+    a = RAGAgent(s, llm=DeterministicLLM())
+    assert a.embedder.cfg.hidden_dim == 32      # checkpoint config won
+    assert a.embedder.dim == 32
+    assert a.cross_encoder.cfg.hidden_dim == 32
+    a.ingestor.ingest_text("the quick brown fox jumps over the lazy dog")
+    resp = a.chat("what does the quick brown fox do?")
+    assert resp.answer
