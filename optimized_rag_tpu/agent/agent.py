@@ -505,6 +505,16 @@ class RAGAgent:
                      "refinements": state.refinement_attempts,
                      "reretrieves": state.reretrieve_attempts,
                      "web_search": state.web_search_attempted})
+        # Gray-zone answers land in the reviewable HITL queue
+        # (store/db.py migration 2; reference only sets the flag,
+        # generate_response.py:390-424).
+        if state.hitl_flagged:
+            try:
+                self.store.hitl_enqueue(
+                    self.settings.agent_id, user_input, state.response,
+                    state.factuality_score, state.support_ratio)
+            except Exception:
+                pass  # review queue must never break a chat turn
         # Daily aggregates in the store (reference
         # dw_grpo_persistence.update_daily_metrics, :320).
         try:

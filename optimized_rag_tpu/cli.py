@@ -223,6 +223,27 @@ def cmd_env_example(args) -> int:
     return 0
 
 
+def cmd_hitl(args) -> int:
+    """Inspect / resolve the human-in-the-loop review queue."""
+    from optimized_rag_tpu.store.db import MetadataStore
+    settings = Settings.from_env()
+    store = MetadataStore(os.path.join(settings.data_dir, "metadata.db"))
+    if args.action == "list":
+        items = store.hitl_list(settings.agent_id, status=args.status)
+        if not items:
+            print(f"no {args.status} items")
+        for it in items:
+            print(f"[{it['id']}] fact={it['factuality']:.2f} "
+                  f"support={it['support_ratio']:.2f}  Q: {it['query'][:70]}")
+            print(f"      A: {it['answer'][:120]}")
+        return 0
+    ok = store.hitl_review(args.item_id,
+                           "approved" if args.action == "approve"
+                           else "rejected", note=args.note)
+    print("ok" if ok else f"no pending item {args.item_id}")
+    return 0 if ok else 1
+
+
 def cmd_info(args) -> int:
     import jax
     from optimized_rag_tpu.utils.health import check_device_health
@@ -263,6 +284,12 @@ def main(argv=None) -> int:
                         help="regenerate .env.example from Settings")
     pe.add_argument("--output", default=".env.example")
     pe.set_defaults(fn=cmd_env_example)
+    ph = sub.add_parser("hitl", help="review queue for gray-zone answers")
+    ph.add_argument("action", choices=("list", "approve", "reject"))
+    ph.add_argument("item_id", nargs="?", type=int, default=0)
+    ph.add_argument("--status", default="pending")
+    ph.add_argument("--note", default="")
+    ph.set_defaults(fn=cmd_hitl)
     args = p.parse_args(argv)
     return args.fn(args)
 

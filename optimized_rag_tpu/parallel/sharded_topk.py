@@ -27,21 +27,29 @@ from optimized_rag_tpu.ops.topk import (
 @functools.partial(
     jax.jit, static_argnames=("k", "mesh", "axis", "impl", "tile", "chunk"))
 def sharded_topk(queries: jax.Array, corpus: jax.Array, k: int, *,
-                 mesh: Mesh, sizes: jax.Array, axis: str = "data",
+                 mesh: Mesh, sizes: jax.Array, axis="data",
                  impl: str = "auto", tile: int = 1024, chunk: int = 65536):
     """Top-k over a row-sharded corpus.
 
-    queries [B, D] replicated; corpus [N, D] sharded on rows over ``axis``;
+    queries [B, D] replicated; corpus [N, D] sharded on rows over ``axis``
+    — a single mesh axis name, or a tuple like ("dcn", "data") for
+    multi-host meshes (parallel/mesh.make_multihost_mesh): the merge
+    all-gather then spans DCN, carrying only the [devices, B, k] winners;
     sizes [devices] — live rows per shard (shards are padded to equal
     static shape). Returns (scores [B,k], global_ids [B,k]).
     """
-    ndev = mesh.shape[axis]
+    axes = axis if isinstance(axis, tuple) else (axis,)
+    ndev = 1
+    for a in axes:
+        ndev *= mesh.shape[a]
     n = corpus.shape[0]
     assert n % ndev == 0
     shard_rows = n // ndev
 
     def local(q, c, sizes_local):
-        my = jax.lax.axis_index(axis)
+        my = jnp.int32(0)
+        for a in axes:  # row-major linear index over the composite axis
+            my = my * mesh.shape[a] + jax.lax.axis_index(a)
         size = sizes_local[0]
         kk = min(k, shard_rows)
         if impl == "pallas":

@@ -119,6 +119,25 @@ CREATE TABLE IF NOT EXISTS daily_metrics (
 # which also adopts round-1 databases that predate version tracking).
 _MIGRATIONS: List[tuple] = [
     (1, _SCHEMA),
+    # Round 2: human-in-the-loop review queue (the reference only FLAGS
+    # gray-zone answers, generate_response.py:390-424; the queue gives
+    # the flags somewhere to go).
+    (2, """
+CREATE TABLE IF NOT EXISTS hitl_queue (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    agent_id TEXT NOT NULL,
+    query TEXT NOT NULL,
+    answer TEXT NOT NULL,
+    factuality REAL NOT NULL,
+    support_ratio REAL NOT NULL,
+    status TEXT NOT NULL DEFAULT 'pending',
+    reviewer_note TEXT NOT NULL DEFAULT '',
+    created_at REAL NOT NULL,
+    reviewed_at REAL
+);
+CREATE INDEX IF NOT EXISTS idx_hitl_status
+    ON hitl_queue(agent_id, status, created_at);
+"""),
 ]
 
 
@@ -352,6 +371,40 @@ class MetadataStore:
             "SELECT weights FROM dw_grpo_weights WHERE agent_id=? AND"
             " intent=? AND complexity=?", (agent_id, intent, complexity))
         return json.loads(rows[0][0]) if rows else None
+
+    # ----------------------------------------------------------- HITL queue
+
+    def hitl_enqueue(self, agent_id: str, query: str, answer: str,
+                     factuality: float, support_ratio: float) -> int:
+        with self._lock:
+            cur = self._conn().execute(
+                "INSERT INTO hitl_queue (agent_id, query, answer,"
+                " factuality, support_ratio, created_at)"
+                " VALUES (?,?,?,?,?,?)",
+                (agent_id, query, answer, factuality, support_ratio,
+                 time.time()))
+            self._conn().commit()
+            return int(cur.lastrowid)
+
+    def hitl_list(self, agent_id: str, status: str = "pending",
+                  limit: int = 50) -> List[Dict[str, Any]]:
+        rows = self.execute(
+            "SELECT id, query, answer, factuality, support_ratio, status,"
+            " reviewer_note, created_at FROM hitl_queue WHERE agent_id=?"
+            " AND status=? ORDER BY created_at LIMIT ?",
+            (agent_id, status, limit))
+        keys = ("id", "query", "answer", "factuality", "support_ratio",
+                "status", "reviewer_note", "created_at")
+        return [dict(zip(keys, r)) for r in rows]
+
+    def hitl_review(self, item_id: int, status: str,
+                    note: str = "") -> bool:
+        assert status in ("approved", "rejected"), status
+        rows = self.execute(
+            "UPDATE hitl_queue SET status=?, reviewer_note=?, reviewed_at=?"
+            " WHERE id=? AND status='pending' RETURNING id",
+            (status, note, time.time(), item_id))
+        return bool(rows)
 
     def update_daily_metric(self, agent_id: str, metric: str, value: float,
                             day: Optional[str] = None) -> None:

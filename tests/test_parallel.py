@@ -209,3 +209,31 @@ def test_sharded_ivf_external_ids_and_small_k(rng):
     # k larger than corpus pads with -1
     _, ids2 = idx.search(docs[:2], k=2000)
     assert (ids2 >= -1).all() and ids2.shape == (2, 2000)
+
+
+# --------------------------------------------- round-2: multi-host (DCN)
+
+def test_multihost_mesh_single_process_shape():
+    from optimized_rag_tpu.parallel.mesh import make_multihost_mesh
+    mesh = make_multihost_mesh(model=1)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.shape["dcn"] == 1 and mesh.shape["data"] == 8
+
+
+def test_sharded_topk_over_composite_dcn_axis(rng):
+    """The same sharded top-k runs over the (dcn, data) composite axis of
+    a multi-host-shaped mesh; merge all-gather spans both axes."""
+    import jax
+    from optimized_rag_tpu.parallel.mesh import (
+        dcn_corpus_sharding, make_multihost_mesh)
+    mesh = make_multihost_mesh(model=2)   # (1, 4, 2) on 8 virtual devices
+    ndev = mesh.shape["dcn"] * mesh.shape["data"]
+    n, d, k = ndev * 512, 64, 10
+    docs = _unit(rng, n, d)
+    q = _unit(rng, 8, d)
+    corpus = jax.device_put(jnp.asarray(docs), dcn_corpus_sharding(mesh))
+    sizes = jnp.full((ndev,), n // ndev, jnp.int32)
+    s, ids = sharded_topk(jnp.asarray(q), corpus, k, mesh=mesh,
+                          sizes=sizes, axis=("dcn", "data"))
+    oracle = np.argsort(-(q @ docs.T), axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(ids), oracle)

@@ -191,15 +191,16 @@ def test_chat_updates_daily_metrics():
 # -------------------------------------------- round-2: schema migrations
 
 def test_schema_migrations_tracked(tmp_path):
-    from optimized_rag_tpu.store.db import MetadataStore
+    from optimized_rag_tpu.store.db import MetadataStore, _MIGRATIONS
+    latest = _MIGRATIONS[-1][0]
     db = str(tmp_path / "m.db")
     s = MetadataStore(db)
-    assert s.schema_version() == 1
+    assert s.schema_version() == latest
     # reopening does not reapply
     s2 = MetadataStore(db)
-    assert s2.schema_version() == 1
+    assert s2.schema_version() == latest
     rows = s2.execute("SELECT COUNT(*) FROM schema_migrations")
-    assert rows[0][0] == 1
+    assert rows[0][0] == len(_MIGRATIONS)
 
 
 def test_schema_migration_adopts_unversioned_db(tmp_path):
@@ -214,7 +215,8 @@ def test_schema_migration_adopts_unversioned_db(tmp_path):
     conn.commit()
     conn.close()
     s = MetadataStore(db)
-    assert s.schema_version() == 1
+    from optimized_rag_tpu.store.db import _MIGRATIONS
+    assert s.schema_version() == _MIGRATIONS[-1][0]
     rows = s.execute("SELECT content FROM core_memory WHERE agent_id='a'")
     assert rows[0][0] == "kept"
 
@@ -238,3 +240,42 @@ def test_snapshot_version_stamp(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="newer"):
         snapshot.load_state(str(tmp_path), "x")
+
+
+# -------------------------------------------------- round-2: HITL queue
+
+def test_hitl_queue_lifecycle(tmp_path):
+    from optimized_rag_tpu.store.db import MetadataStore
+    s = MetadataStore(str(tmp_path / "h.db"))
+    assert s.schema_version() >= 2
+    i1 = s.hitl_enqueue("a", "q1", "ans1", 0.55, 0.6)
+    i2 = s.hitl_enqueue("a", "q2", "ans2", 0.45, 0.5)
+    pending = s.hitl_list("a")
+    assert [p["id"] for p in pending] == [i1, i2]
+    assert s.hitl_review(i1, "approved", note="fine")
+    assert not s.hitl_review(i1, "rejected")  # already resolved
+    assert [p["id"] for p in s.hitl_list("a")] == [i2]
+    approved = s.hitl_list("a", status="approved")
+    assert approved[0]["reviewer_note"] == "fine"
+
+
+def test_hitl_flag_enqueues_from_chat():
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    from optimized_rag_tpu.config import Settings
+    from fakes import FakeCrossEncoder, FakeEmbedder
+    s = Settings()
+    s.flags.enable_hitl = True
+    s.flags.enable_metrics_export = False
+    a = RAGAgent(s, llm=DeterministicLLM(),
+                 embed_service=FakeEmbedder(dim=32),
+                 cross_encoder=FakeCrossEncoder())
+    a.ingestor.ingest_text(
+        "The MXU multiplies matrices. It is a systolic array.")
+    # force the gray zone by monkeypatching the factuality band
+    for q in ("what is the mxu?", "how do systolic arrays work?"):
+        a.chat(q)
+    flagged = a.store.hitl_list(s.agent_id)
+    resp_scores = [f["factuality"] for f in flagged]
+    # anything the graph flagged must be in the gray zone
+    assert all(0.4 <= f < 0.7 for f in resp_scores)
