@@ -1,13 +1,13 @@
 """Headline benchmark: dense retrieval QPS/chip at 10M chunks.
 
 The BASELINE.json north star: recall@10 parity with exact search and
->10x QPS/chip over the CPU pipeline at 10M chunks. Headline = the fused
-Pallas matmul+top-k in its explicit approximate mode (tile_k=2 winners
-per tile — extraction width, not bandwidth, bounds large-batch top-k; see
-ops/topk.py), reported WITH recall measured against the exact kernel on
-this workload (the standard ANN protocol: qps at recall=X). The exact
-mode (pallas_topk_verified — the DenseIndex default) is measured and
-reported alongside as exact_qps. CPU baseline: NumPy exact brute force.
+>10x QPS/chip over the CPU pipeline at 10M chunks. Headline = the
+EXACT batch-union-verified kernel (ops/topk.pallas_topk_verified_batch,
+the dispatch/DenseIndex default at this shape): fast tile_k=2 extraction
+plus one contiguous MXU rescan of the hottest suspicious tiles, with a
+per-call certification counter proving coverage. The explicitly
+approximate ANN mode (tile_k=2, no rescan) is reported alongside with
+measured recall. CPU baseline: NumPy exact brute force.
 
 Protocol notes (see docs/RESULTS_r1.md):
   * the corpus is GENERATED ON DEVICE — nothing large crosses the
@@ -40,7 +40,7 @@ def main() -> None:
     import jax.numpy as jnp
     from benchmarks.common import make_corpus_device
     from optimized_rag_tpu.ops.topk import (
-        chunked_topk, pallas_topk, pallas_topk_verified)
+        chunked_topk, pallas_topk, pallas_topk_verified_batch)
     from optimized_rag_tpu.utils.health import check_device_health
 
     # The chip takes 1-3 min to grant a claim after another process exits;
@@ -71,55 +71,69 @@ def main() -> None:
     qj = jnp.asarray(q)
     on_tpu = backend == "tpu"
 
+    def exact(qq):
+        """Certified-exact batch-union kernel; returns (s, ids, covered)."""
+        if on_tpu:
+            s, packed = pallas_topk_verified_batch(qq, corpus, K, tile=TILE,
+                                                   tile_k=TILE_K)
+            return s, packed[:-1], packed[-1:]
+        s, i = chunked_topk(qq, corpus, K, chunk=1 << 17)
+        return s, i, None
+
     def fast(qq):
+        """Approximate ANN mode (explicit opt-in path)."""
         if on_tpu:
             return pallas_topk(qq, corpus, K, tile=TILE, tile_k=TILE_K)
         return chunked_topk(qq, corpus, K, chunk=1 << 17)
 
-    def exact(qq):
-        if on_tpu:
-            return pallas_topk_verified(qq, corpus, K, tile=TILE, tile_k=2)
-        return chunked_topk(qq, corpus, K, chunk=1 << 17)
-
-    # recall vs the exact kernel (device oracle — the corpus never leaves
-    # the device).
-    _, i_exact = exact(qj)
+    # recall of the approximate mode vs the certified-exact kernel
+    # (device oracle — the corpus never leaves the device).
+    _, i_exact, cover = exact(qj)
+    uncovered = int(np.asarray(cover)[0, 0]) if cover is not None else 0
+    log(f"exactness certification: uncovered={uncovered} (0 = exact)")
     i_exact = np.asarray(i_exact)
     s, i = fast(qj)
     i_np = np.asarray(i)
     recall = float(np.mean([len(set(i_np[r]) & set(i_exact[r])) / K
                             for r in range(B)]))
-    log(f"recall@{K} vs exact kernel: {recall:.4f}")
+    log(f"approx-mode recall@{K} vs exact kernel: {recall:.4f}")
 
+    # HEADLINE: the certified-exact kernel.
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        s, i = fast(qj)
+        _, i, _cov = exact(qj)
         _ = np.asarray(i)
     dev_s = (time.perf_counter() - t0) / iters
     dev_qps = B / dev_s
-    log(f"device: {dev_s * 1e3:.2f} ms/batch -> {dev_qps:.0f} qps "
+    log(f"EXACT device: {dev_s * 1e3:.2f} ms/batch -> {dev_qps:.0f} qps "
         f"({N * D * 2 / dev_s / 1e9:.0f} GB/s effective incl transfer)")
 
-    # Exact mode (the DenseIndex.search default path).
+    # Approximate ANN mode alongside.
     t0 = time.perf_counter()
     for _ in range(iters):
-        s, i = exact(qj)
-        _ = np.asarray(i)
-    exact_s = (time.perf_counter() - t0) / iters
-    exact_qps = B / exact_s
-    log(f"exact (verified): {exact_s * 1e3:.2f} ms/batch -> "
-        f"{exact_qps:.0f} qps")
+        s2, i2 = fast(qj)
+        _ = np.asarray(i2)
+    ann_s = (time.perf_counter() - t0) / iters
+    ann_qps = B / ann_s
+    log(f"ANN mode: {ann_s * 1e3:.2f} ms/batch -> {ann_qps:.0f} qps "
+        f"at measured recall {recall:.4f}")
 
     # CPU exact baseline (pgvector-equivalent brute force), same N/D shape.
+    # Warm pass first (the 5.4 GB corpus page-faults on first touch) and
+    # best-of-2 so host noise can't inflate vs_baseline.
     bc = 16
     cpu_corpus = rng.standard_normal((N, D)).astype(np.float32)
     cpu_corpus /= np.linalg.norm(cpu_corpus, axis=1, keepdims=True)
-    t0 = time.perf_counter()
-    scores = q[:bc] @ cpu_corpus.T
-    part = np.argpartition(-scores, K, axis=1)[:, :K]
-    _ = np.take_along_axis(scores, part, axis=1)
-    cpu_s = (time.perf_counter() - t0) / bc
+    _ = q[:2] @ cpu_corpus.T  # touch every page
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        scores = q[:bc] @ cpu_corpus.T
+        part = np.argpartition(-scores, K, axis=1)[:, :K]
+        _ = np.take_along_axis(scores, part, axis=1)
+        best = min(best, (time.perf_counter() - t0) / bc)
+    cpu_s = best
     cpu_qps = 1.0 / cpu_s
     log(f"cpu exact: {cpu_s:.2f} s/query -> {cpu_qps:.2f} qps")
 
@@ -128,10 +142,13 @@ def main() -> None:
         "value": round(dev_qps, 1),
         "unit": "qps/chip",
         "vs_baseline": round(dev_qps / cpu_qps, 1),
-        "recall_at_10_vs_exact": round(recall, 4),
+        "mode": "exact (batch-union verified)",
+        "exactness_uncovered": uncovered,
+        "recall_at_10": 1.0 if uncovered == 0 else None,
         "p50_batch_ms": round(dev_s * 1e3, 2),
-        "exact_qps": round(exact_qps, 1),
-        "exact_p50_batch_ms": round(exact_s * 1e3, 2),
+        "ann_mode_qps": round(ann_qps, 1),
+        "ann_mode_recall_at_10": round(recall, 4),
+        "ann_mode_p50_batch_ms": round(ann_s * 1e3, 2),
         "cpu_baseline_qps": round(cpu_qps, 3),
         "corpus": f"{N}x{D} bf16",
         "backend": backend,

@@ -294,6 +294,82 @@ def pallas_topk_verified(queries: jax.Array, corpus: jax.Array, k: int,
     return out_s.reshape(b, k), out_i.reshape(b, k)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "interpret", "precision",
+                                    "tile_k", "union_tiles"))
+def pallas_topk_verified_batch(queries: jax.Array, corpus: jax.Array,
+                               k: int, size: jax.Array | int | None = None,
+                               tile: int = 1024, interpret: bool = False,
+                               precision=None, tile_k: int = 2,
+                               union_tiles: int = 64):
+    """Exact top-k with a BATCH-UNION rescan — the large-batch variant of
+    ``pallas_topk_verified``.
+
+    The per-query rescan gathers R*tile scattered rows per query (slow:
+    XLA row-gather runs ~10ns/row). Here the rescan instead selects the
+    ``union_tiles`` hottest suspicious tiles ACROSS the batch, reads them
+    once contiguously, and rescores them against ALL queries on the MXU —
+    O(U*tile) bytes + one [B, U*tile] matmul instead of O(B*R*tile)
+    gathered rows.
+
+    Exactness is certified per call: the returned ``ids`` carry an extra
+    row whose first element counts (query, tile) suspicion pairs NOT
+    covered by the union. 0 (the overwhelmingly common case — suspicious
+    tiles are rare and shared) means the result is exact; callers treat
+    nonzero as "rerun exactly" (dispatch_topk does this automatically).
+    The count rides inside the ids buffer so remote-host callers pay no
+    extra fetch round trip.
+
+    Returns (scores [B,k] f32, ids [B+1,k] int32) with
+    ids[B, 0] = uncovered count.
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    tile_k = min(tile_k, k)
+    precision = _resolve_precision(corpus, precision)
+    num_tiles = n // tile
+    u = min(union_tiles, num_tiles)
+    assert num_tiles * tile_k >= k, (num_tiles, tile_k, k)
+    tile_s, tile_i = _tile_pass(queries, corpus, size, tile, tile_k,
+                                interpret, precision)
+    top_s, top_i = _merge_tile_winners(tile_s, tile_i, k)
+    size_ = jnp.asarray(n if size is None else size, jnp.int32)
+
+    tau = top_s[:, k - 1]                                    # [B]
+    s_last = jnp.transpose(tile_s[:, :, tile_k - 1])         # [B, T]
+    sus = s_last > tau[:, None]                              # [B, T]
+    # Hottest tiles across the batch, by worst-case hidden margin.
+    priority = jnp.max(jnp.where(sus, s_last - tau[:, None], -jnp.inf),
+                       axis=0)                               # [T]
+    sel_pri, sel_tiles = jax.lax.top_k(priority, u)          # [U]
+    sel_valid = sel_pri > -jnp.inf
+    selected = jnp.zeros((num_tiles,), bool).at[sel_tiles].set(sel_valid)
+    uncovered = jnp.sum(sus & ~selected[None, :]).astype(jnp.int32)
+
+    # One contiguous read of the union tiles; MXU rescore vs every query.
+    rows = (sel_tiles[:, None] * tile
+            + jnp.arange(tile, dtype=jnp.int32)[None, :]).reshape(-1)
+    gathered = corpus[rows]                                  # [U*tile, D]
+    sc = jnp.dot(queries.astype(corpus.dtype), gathered.T,
+                 preferred_element_type=jnp.float32,
+                 precision=precision)                        # [B, U*tile]
+    row_ok = (jnp.repeat(sel_valid, tile) & (rows < size_))[None, :]
+    sc = jnp.where(row_ok, sc, NEG_INF)
+    r_s, r_pos = jax.lax.top_k(sc, k)
+    r_i = jnp.take(rows, r_pos)
+
+    # Candidates from selected tiles are fully re-found by the rescan —
+    # mask them instead of deduplicating row ids.
+    cand_in_sel = selected[jnp.clip(top_i // tile, 0, num_tiles - 1)]
+    m_s = jnp.concatenate(
+        [jnp.where(cand_in_sel, NEG_INF, top_s), r_s], axis=1)
+    m_i = jnp.concatenate([top_i, r_i], axis=1)
+    out_s, pos = jax.lax.top_k(m_s, k)
+    out_i = jnp.take_along_axis(m_i, pos, axis=1)
+    count_row = jnp.zeros((1, k), jnp.int32).at[0, 0].set(uncovered)
+    return out_s, jnp.concatenate([out_i, count_row], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def rescore_topk(queries: jax.Array, corpus: jax.Array,
                  cand_ids: jax.Array, k: int):
@@ -335,7 +411,21 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
                                tile_k=approx_tile_k, interpret=not on_tpu)
         if n // tile >= 64 * k:
             # Extraction-bound regime (tile_k*B*N VPU ops dominate): fast
-            # 2-winner extraction, exactness restored by the rescan.
+            # 2-winner extraction, exactness restored by a rescan. Large
+            # batches amortize the batch-union rescan (one contiguous
+            # read + MXU rescore); small ones use the per-query gather.
+            b = queries.shape[0]
+            if b >= 16:
+                import numpy as _np
+                scores, packed = pallas_topk_verified_batch(
+                    queries, corpus, k, size, tile=tile, tile_k=2,
+                    interpret=not on_tpu)
+                packed = _np.asarray(packed)
+                if int(packed[-1, 0]) == 0:   # exactness certified
+                    return scores, packed[:-1]
+                # Rare union overflow: rerun with the certain-exact kernel.
+                return pallas_topk(queries, corpus, k, size, tile=tile,
+                                   interpret=not on_tpu)
             return pallas_topk_verified(queries, corpus, k, size, tile=tile,
                                         tile_k=2, interpret=not on_tpu)
         return pallas_topk(queries, corpus, k, size, tile=tile,

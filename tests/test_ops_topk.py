@@ -173,3 +173,51 @@ def test_dispatch_approx_opt_in(rng):
     recall = np.mean([len(set(i_approx[r]) & set(oracle_i[r])) / 10
                       for r in range(len(q))])
     assert recall < 1.0
+
+
+def test_batch_union_verified_exact_on_clustered(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_verified_batch
+    q, c, n = _clustered_case(rng, b=8)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, packed = pallas_topk_verified_batch(
+        jnp.asarray(q), jnp.asarray(c), 10, tile=128, tile_k=2,
+        union_tiles=16, interpret=True)
+    packed = np.asarray(packed)
+    assert packed[-1, 0] == 0, "union must cover 8 distinct hot tiles"
+    _check(s, packed[:-1], oracle_s, oracle_i)
+
+
+def test_batch_union_detects_overflow(rng):
+    """More distinct suspicious tiles than union slots -> nonzero
+    uncovered count (the caller's signal to rerun exactly)."""
+    from optimized_rag_tpu.ops.topk import pallas_topk_verified_batch
+    q, c, n = _clustered_case(rng, b=8)
+    _, packed = pallas_topk_verified_batch(
+        jnp.asarray(q), jnp.asarray(c), 10, tile=128, tile_k=2,
+        union_tiles=2, interpret=True)   # 8 hot tiles, 2 slots
+    assert np.asarray(packed)[-1, 0] > 0
+
+
+def test_batch_union_with_padding(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_verified_batch
+    q, c = _make(rng, b=16, n=128 * 40, d=64)
+    size = 128 * 40 - 77
+    oracle_s, oracle_i = _oracle_topk(q, c, 10, size=size)
+    s, packed = pallas_topk_verified_batch(
+        jnp.asarray(q), jnp.asarray(c), 10, size=size, tile=128,
+        tile_k=2, union_tiles=8, interpret=True)
+    packed = np.asarray(packed)
+    if packed[-1, 0] == 0:
+        _check(s, packed[:-1], oracle_s, oracle_i)
+
+
+def test_dispatch_batch_union_fallback_stays_exact(rng):
+    """dispatch_topk must stay exact even when the union overflows: the
+    clustered case with b>=16 distinct hot tiles and a tiny union forces
+    the certified fallback path."""
+    from optimized_rag_tpu.ops import topk as topk_mod
+    q, c, n = _clustered_case(rng, b=16, tiles=700)  # 700 tiles >= 64*k...
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, i = topk_mod.dispatch_topk(jnp.asarray(q), jnp.asarray(c), 10,
+                                  prefer_pallas=True, tile=128)
+    _check(s, np.asarray(i), oracle_s, oracle_i)
