@@ -440,8 +440,26 @@ class RAGAgent:
         t0 = time.time()
         probe = ["warmup probe text one", "warmup probe text two"]
         self.embed_fn(probe)
+        # Precompile EVERY pow2 sequence-length bucket the tokenizer can
+        # emit (tokenizer._bucket_len ladder). Each distinct
+        # (batch-bucket, length) shape is one remote XLA compile (~1s)
+        # better paid here than mid-turn. Single-token filler words pin
+        # the tokenized length, so each ladder rung compiles exactly once.
+        max_l = min(getattr(self.embedder, "max_len", 8), 128)
+        ladder, length = [], 8
+        while length <= max_l:
+            ladder.append(length)
+            length *= 2
+        for rung in ladder:
+            text = " ".join(f"w{i}" for i in range(rung - 2))
+            self.embed_fn([f"warm {rung} {text[:4]}", text])
+            if self.cross_encoder is not None:
+                doc = " ".join(f"w{i}" for i in range(max(rung - 8, 2)))
+                self.cross_encoder.score_pairs("warm query", [doc] * 5)
         if self.dense.size > 0:
-            self.dense.search(self.embed_fn(["warmup query"]), k=min(
+            # Full hybrid path: compiles dual_topk + fuse_candidates +
+            # blend/cosine helpers on the live corpus shapes.
+            self.retriever.retrieve("warmup query", top_k=min(
                 self.settings.retrieval.top_k, self.dense.size))
             if self.lexical.size > 0:
                 self.lexical.search("warmup query", k=5)

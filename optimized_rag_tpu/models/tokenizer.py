@@ -68,17 +68,31 @@ class HashTokenizer:
         return (np.asarray(ids + [PAD_ID] * pad, np.int32),
                 np.asarray(mask + [0] * pad, np.int32))
 
-    def encode_batch(self, texts: list[str], max_len: int | None = None,
-                     pad_to_multiple: int = 8):
+    @staticmethod
+    def _bucket_len(longest: int, cap: int) -> int:
+        """Round a sequence length up the power-of-two ladder (min 8).
+
+        Multiples-of-8 bucketing left up to cap/8 distinct compiled
+        shapes per model; through a remote runtime each fresh shape is a
+        ~1s XLA compile that lands in the middle of a chat turn. The
+        pow2 ladder caps shapes at log2(cap) (8, 16, ..., cap), all of
+        which warmup() can precompile.
+        """
+        length = 8
+        while length < longest:
+            length *= 2
+        return min(length, cap)
+
+    def encode_batch(self, texts: list[str], max_len: int | None = None):
         """Batch encode with dynamic-but-bucketed padding.
 
-        Bucketing the sequence length to a multiple keeps the number of
-        distinct compiled shapes small (XLA static-shape friendly).
+        Bucketing the sequence length to the pow2 ladder keeps the number
+        of distinct compiled shapes small (XLA static-shape friendly).
         """
         cap = max_len or self.max_len
         toks = [self.tokenize(t)[: cap - 2] for t in texts]
         longest = max((len(t) for t in toks), default=0) + 2
-        length = min(cap, -(-longest // pad_to_multiple) * pad_to_multiple)
+        length = self._bucket_len(longest, cap)
         ids = np.full((len(texts), length), PAD_ID, np.int32)
         mask = np.zeros((len(texts), length), np.int32)
         for r, t in enumerate(toks):
@@ -88,11 +102,12 @@ class HashTokenizer:
         return ids, mask
 
     def encode_pairs(self, pairs: list[tuple[str, str]],
-                     max_len: int | None = None, pad_to_multiple: int = 8):
+                     max_len: int | None = None):
         """(query, doc) pairs -> (ids, mask, type_ids) for the cross-encoder.
 
         Layout: [CLS] query [SEP] doc [SEP]; type 0 for query, 1 for doc
         (mirrors the ms-marco cross-encoder input of rag/reranker.py:355).
+        Sequence length buckets up the pow2 ladder (see _bucket_len).
         """
         cap = max_len or self.max_len
         rows = []
@@ -102,7 +117,7 @@ class HashTokenizer:
             row = ([CLS_ID] + qt + [SEP_ID], dt + [SEP_ID])
             rows.append(row)
         longest = max((len(a) + len(b) for a, b in rows), default=0)
-        length = min(cap, -(-longest // pad_to_multiple) * pad_to_multiple)
+        length = self._bucket_len(longest, cap)
         ids = np.full((len(pairs), length), PAD_ID, np.int32)
         mask = np.zeros((len(pairs), length), np.int32)
         types = np.zeros((len(pairs), length), np.int32)

@@ -54,8 +54,8 @@ def test_contrastive_training_improves_retrieval(rng):
             d = int(rng.choice(topic_docs[t]))
             docs.append(ds.texts[d])
             queries.append(" ".join(rng.choice(ds.texts[d].split(), 4)))
-        q_ids, q_mask = tok.encode_batch(queries, 32, pad_to_multiple=32)
-        d_ids, d_mask = tok.encode_batch(docs, 32, pad_to_multiple=32)
+        q_ids, q_mask = tok.encode_batch(queries, 32)
+        d_ids, d_mask = tok.encode_batch(docs, 32)
         losses.append(trainer.train_step(q_ids, q_mask, d_ids, d_mask))
 
     after = _recall(jax.device_get(trainer.params), ds)
