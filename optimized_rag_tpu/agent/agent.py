@@ -255,7 +255,7 @@ class RAGAgent:
                                   tile=self.dense.tile)
             emb = self.dense.embeddings()[: self.dense.size]
             if hasattr(ann, "build"):          # IVF family: frozen build
-                ann.build(emb)
+                ann.build(emb, balanced=s.ivf.balanced_build)
             else:                              # sharded dense: appendable
                 ann.add(emb)
             self.retriever.ann = ann

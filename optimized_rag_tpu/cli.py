@@ -223,6 +223,25 @@ def cmd_env_example(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP serving: /search (micro-batched), /chat, /healthz, /stats."""
+    from optimized_rag_tpu.server import AgentHTTPServer
+    settings = Settings.from_env()
+    agent = build_agent(settings, offline=not args.online,
+                        local_lm=getattr(args, "local_lm", False))
+    agent.warmup()
+    server = AgentHTTPServer(agent, host=args.host, port=args.port,
+                             max_batch=args.max_batch,
+                             max_wait_ms=args.max_wait_ms)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(corpus: {agent.dense.size} chunks)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
 def cmd_hitl(args) -> int:
     """Inspect / resolve the human-in-the-loop review queue."""
     from optimized_rag_tpu.store.db import MetadataStore
@@ -284,6 +303,15 @@ def main(argv=None) -> int:
                         help="regenerate .env.example from Settings")
     pe.add_argument("--output", default=".env.example")
     pe.set_defaults(fn=cmd_env_example)
+    ps = sub.add_parser("serve", help="HTTP server (/search /chat /stats)")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8080)
+    ps.add_argument("--max-batch", dest="max_batch", type=int, default=64)
+    ps.add_argument("--max-wait-ms", dest="max_wait_ms", type=float,
+                    default=5.0)
+    ps.add_argument("--online", action="store_true")
+    ps.add_argument("--local-lm", dest="local_lm", action="store_true")
+    ps.set_defaults(fn=cmd_serve)
     ph = sub.add_parser("hitl", help="review queue for gray-zone answers")
     ph.add_argument("action", choices=("list", "approve", "reject"))
     ph.add_argument("item_id", nargs="?", type=int, default=0)

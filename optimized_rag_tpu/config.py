@@ -116,11 +116,14 @@ class IVFConfig:
     kmeans_iters: int = 12
     min_points_per_cluster: int = 4
     oversample: float = 1.3         # candidate oversampling for recall safety
-    # Index policy thresholds (index/policy.py; docs/RESULTS_r1.md: exact
-    # fused brute force wins single-chip below the streaming budget).
-    ivf_min_size: int = 4_000_000
+    # Index policy thresholds (index/policy.py). Round-2 measurement
+    # (docs/RESULTS_r2.md): streaming exact brute force beats IVF — even
+    # balanced-cluster IVF — at EVERY batch size through 10M x 128 bf16
+    # on one v5e, so IVF only engages near the HBM streaming budget.
+    ivf_min_size: int = 16_000_000
     shard_min_size: int = 250_000
     rebuild_growth: float = 2.0     # rebuild ANN when corpus grows this much
+    balanced_build: bool = True     # balanced clusters: ~3.5x smaller window
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optimized_rag_tpu.ops.kmeans import kmeans_assign, kmeans_fit
+from optimized_rag_tpu.ops.kmeans import (
+    balanced_assign, kmeans_assign, kmeans_fit)
 from optimized_rag_tpu.ops.similarity import normalize
 from optimized_rag_tpu.ops.topk import NEG_INF
 
@@ -108,7 +109,8 @@ class IVFIndex:
         self._window = 0
 
     def build(self, embeddings, ids=None, storage_dtype=jnp.float32,
-              train_sample: int = 1 << 21) -> None:
+              train_sample: int = 1 << 21, balanced: bool = False,
+              cap_factor: float = 1.15) -> None:
         """Train centroids and lay out cluster-sorted storage.
 
         embeddings [N, D] (unnormalized ok); ids [N] original doc ids
@@ -117,6 +119,14 @@ class IVFIndex:
         first ``train_sample`` rows (standard IVF practice — Lloyd on the
         full corpus would also need a full float32 copy); assignment of
         the full corpus is chunked.
+
+        ``balanced=True`` caps clusters at cap_factor*ceil(N/C) via
+        affinity-greedy reassignment (ops/kmeans.balanced_assign), so the
+        probe window is ~the MEAN cluster size instead of the max (~4x
+        smaller on clustered data) — the difference between windowed
+        probes losing to and beating streaming brute force. Displaced
+        points sit in near-best clusters; recover recall with a slightly
+        higher nprobe (measured in benchmarks/bench_sharded.py).
         """
         emb = normalize(jnp.asarray(embeddings)).astype(storage_dtype)
         n, d = emb.shape
@@ -125,14 +135,23 @@ class IVFIndex:
         centroids, _ = kmeans_fit(train, c, iters=self.kmeans_iters,
                                   seed=self.seed)
         del train
-        assign, _ = kmeans_assign(emb, centroids, chunk=1 << 20)
-        assign = np.asarray(assign)           # [n] int32 — small
+        if balanced:
+            cap = max(1, int(np.ceil(n / c * cap_factor)))
+            # Small chunks: top_k is a custom call XLA cannot fuse into the
+            # matmul, so the [chunk, C] sims matrix materializes (1 GB at
+            # 64k x 4096 f32; a 1M chunk would OOM the chip).
+            assign = balanced_assign(emb, centroids, cap, chunk=1 << 16)
+            window_round = 128  # window ~= cap, not tile-rounded
+        else:
+            assign, _ = kmeans_assign(emb, centroids, chunk=1 << 20)
+            assign = np.asarray(assign)       # [n] int32 — small
+            window_round = self.tile
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=c).astype(np.int32)
         starts = np.zeros(c, np.int32)
         starts[1:] = np.cumsum(counts)[:-1]
-        self._window = max(self.tile,
-                           _round_up(int(counts.max() or 1), self.tile))
+        self._window = max(window_round,
+                           _round_up(int(counts.max() or 1), window_round))
         npad = _round_up(n, self.tile) + self._window  # slack for clamping
         # Cluster-sort ON DEVICE: a host round trip of the full matrix
         # (2x n*d floats) dwarfs everything else at 10M scale.

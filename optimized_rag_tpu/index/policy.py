@@ -18,13 +18,14 @@ from typing import Optional
 
 
 def select_index_kind(corpus_size: int, n_devices: int,
-                      ivf_min_size: int = 4_000_000,
+                      ivf_min_size: int = 16_000_000,
                       shard_min_size: int = 250_000) -> str:
     """Returns one of "dense", "ivf", "sharded_dense", "sharded_ivf".
 
-    * single device: exact brute force until ``ivf_min_size`` (measured:
-      extraction-bound fused top-k beats IVF's windowed gathers below the
-      streaming budget), IVF past it
+    * single device: exact brute force until ``ivf_min_size`` (measured
+      round 2 at 10M x 128 bf16, docs/RESULTS_r2.md: the streaming exact
+      kernel beats IVF — even balanced-cluster IVF — at every batch
+      size; IVF only engages near the HBM streaming budget), IVF past it
     * multi device: small corpora stay dense on one chip (collectives
       cost more than they save below ``shard_min_size``); larger ones
       shard rows; past ``ivf_min_size`` per the whole corpus, shard

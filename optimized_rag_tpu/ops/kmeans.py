@@ -49,6 +49,67 @@ def kmeans_assign(points: jax.Array, centroids: jax.Array,
     return jnp.concatenate(parts_a), jnp.concatenate(parts_s)
 
 
+@functools.partial(jax.jit, static_argnames=("t",))
+def _assign_topt_chunk(pts: jax.Array, c_norm: jax.Array, t: int):
+    sims = jnp.dot(pts.astype(jnp.float32), c_norm.T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    s, i = jax.lax.top_k(sims, t)
+    return i.astype(jnp.int32), s
+
+
+def balanced_assign(points: jax.Array, centroids: jax.Array, cap: int,
+                    top: int = 8, chunk: int = 65536):
+    """Capacity-capped cluster assignment (balanced IVF).
+
+    Each point goes to its best-affinity centroid whose cluster still has
+    room (greedy, rank-round robin over each point's top-``top`` choices;
+    stragglers fill the least-loaded clusters). Equal-size clusters make
+    every IVF probe window exactly ceil(N/C) rows instead of the max
+    cluster size (~4x the mean on clustered data) — the round-1 reason
+    windowed probes lost to streaming brute force.
+
+    Returns assignment [N] int32 with bincount(assign) <= cap.
+    """
+    import numpy as np
+    n = points.shape[0]
+    c = centroids.shape[0]
+    assert cap * c >= n, (cap, c, n)
+    c_norm = normalize(centroids).astype(jnp.float32)
+    ch_i, ch_s = [], []
+    for lo in range(0, n, chunk):
+        size = min(chunk, n - lo)
+        i, s = _assign_topt_chunk(
+            jax.lax.dynamic_slice_in_dim(points, lo, size, axis=0),
+            c_norm, min(top, c))
+        ch_i.append(np.asarray(i))
+        ch_s.append(np.asarray(s))
+    choices = np.concatenate(ch_i)          # [N, T]
+    scores = np.concatenate(ch_s)           # [N, T]
+    assign = np.full(n, -1, np.int64)
+    load = np.zeros(c, np.int64)
+    for r in range(choices.shape[1]):
+        un = np.flatnonzero(assign < 0)
+        if not len(un):
+            break
+        cc = choices[un, r].astype(np.int64)
+        ss = scores[un, r]
+        order = np.lexsort((-ss, cc))       # by cluster, best first
+        un_o, c_o = un[order], cc[order]
+        # rank within each cluster run
+        starts = np.r_[0, np.flatnonzero(np.diff(c_o)) + 1]
+        run_len = np.diff(np.r_[starts, len(c_o)])
+        rank = np.arange(len(c_o)) - np.repeat(starts, run_len)
+        take = rank < (cap - load)[c_o]
+        assign[un_o[take]] = c_o[take]
+        load += np.bincount(c_o[take], minlength=c)
+    un = np.flatnonzero(assign < 0)
+    if len(un):  # stragglers: round-robin into remaining room
+        room_ids = np.repeat(np.arange(c), np.maximum(cap - load, 0))
+        assign[un] = room_ids[: len(un)]
+    return assign.astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("num_clusters", "iters"))
 def kmeans_fit(points: jax.Array, num_clusters: int, iters: int = 12,
                seed: int = 0, valid: jax.Array | None = None):

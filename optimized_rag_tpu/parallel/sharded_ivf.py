@@ -102,7 +102,8 @@ class ShardedIVFIndex:
         self.size = 0
 
     def build(self, embeddings, ids=None, storage_dtype=jnp.float32,
-              train_sample: int = 1 << 21) -> None:
+              train_sample: int = 1 << 21, balanced: bool = False,
+              cap_factor: float = 1.15) -> None:
         emb = normalize(jnp.asarray(embeddings)).astype(storage_dtype)
         n, d = emb.shape
         c = min(self.num_clusters, max(self.ndev, n // 4))
@@ -110,8 +111,14 @@ class ShardedIVFIndex:
         centroids, _ = kmeans_fit(train, c, iters=self.kmeans_iters,
                                   seed=self.seed)
         del train
-        assign = np.asarray(kmeans_assign(emb, centroids,
-                                          chunk=1 << 20)[0])
+        if balanced:  # equal-size clusters: smaller probe windows AND a
+            # naturally balanced cluster->shard partition (index/ivf.py)
+            from optimized_rag_tpu.ops.kmeans import balanced_assign
+            cap = max(1, int(np.ceil(n / c * cap_factor)))
+            assign = balanced_assign(emb, centroids, cap, chunk=1 << 16)
+        else:
+            assign = np.asarray(kmeans_assign(emb, centroids,
+                                              chunk=1 << 20)[0])
         counts_c = np.bincount(assign, minlength=c).astype(np.int64)
         shard_of = partition_clusters(counts_c, self.ndev)
 

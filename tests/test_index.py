@@ -165,7 +165,7 @@ def test_ivf_partial_probe_recall(rng):
     oracle = np.argsort(-(q @ docs.T), axis=1)[:, :10]
     recall = np.mean([len(set(ids[r]) & set(oracle[r])) / 10
                       for r in range(len(q))])
-    assert recall >= 0.9, recall
+    assert recall >= 0.95, recall
 
 
 def test_ivf_custom_ids_and_snapshot(tmp_path, rng):
@@ -242,3 +242,47 @@ def test_agent_policy_upgrades_to_ivf(rng):
     assert a.dense.size > built
     docs = a.retriever.dense_only("zebra quagga okapi unique animal", 5)
     assert any("zebra" in d.text for d in docs), [d.text[:30] for d in docs]
+
+
+# ------------------------------------------- round-2: balanced IVF
+
+def test_balanced_assign_respects_cap(rng):
+    from optimized_rag_tpu.ops.kmeans import balanced_assign, kmeans_fit
+    import jax.numpy as jnp
+    # heavily skewed data: half the points near one center
+    hot = rng.standard_normal(16).astype(np.float32)
+    pts = np.concatenate([
+        hot + 0.05 * rng.standard_normal((500, 16)).astype(np.float32),
+        rng.standard_normal((500, 16)).astype(np.float32)])
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    cents, _ = kmeans_fit(jnp.asarray(pts), 16, iters=6)
+    cap = int(np.ceil(1000 / 16 * 1.05))
+    assign = balanced_assign(jnp.asarray(pts), cents, cap)
+    counts = np.bincount(assign, minlength=16)
+    assert counts.max() <= cap, (counts.max(), cap)
+    assert counts.sum() == 1000
+    assert (assign >= 0).all()
+
+
+def test_ivf_balanced_build_recall(rng):
+    from optimized_rag_tpu.index.ivf import IVFIndex
+    centers = rng.standard_normal((32, 32)).astype(np.float32)
+    docs = centers[rng.integers(0, 32, 4096)] + \
+        0.2 * rng.standard_normal((4096, 32)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = docs[rng.integers(0, 4096, 16)] + \
+        0.05 * rng.standard_normal((16, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ivf = IVFIndex(num_clusters=32, nprobe=16, kmeans_iters=8, tile=256)
+    ivf.build(docs, balanced=True)
+    counts = np.asarray(ivf._counts)
+    assert counts.max() <= int(np.ceil(4096 / 32 * 1.15))
+    # window sized to the (rounded) cap, not the max natural cluster
+    assert ivf._window <= 256
+    # displaced points need a few extra probes (the documented tradeoff);
+    # the read budget nprobe*window stays far below the unbalanced build's
+    scores, ids = ivf.search(q, k=10)
+    oracle = np.argsort(-(q @ docs.T), axis=1)[:, :10]
+    recall = np.mean([len(set(ids[r]) & set(oracle[r])) / 10
+                      for r in range(16)])
+    assert recall >= 0.95, recall

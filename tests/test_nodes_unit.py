@@ -189,5 +189,8 @@ def test_health_check_healthy_on_cpu():
 
 
 def test_health_check_timeout_path(monkeypatch):
-    out = check_device_health(timeout_s=0.0)
+    # A big matmul guarantees the probe outlives the 0s timeout — with the
+    # default tiny probe, the worker thread can win the race on a warm
+    # backend and flake this test.
+    out = check_device_health(timeout_s=0.0, matmul_dim=4096)
     assert not out["healthy"] and "respond" in out["error"]
