@@ -120,7 +120,11 @@ class RAGAgent:
         # Storage + indexes.
         self.store = store or MetadataStore(":memory:")
         dim = getattr(embed_service, "dim", s.encoder.dim)
-        self.dense = DenseIndex(dim=dim, capacity_block=65536, tile=1024)
+        import jax.numpy as jnp
+        corpus_dtype = {"float32": jnp.float32,
+                        "bfloat16": jnp.bfloat16}[s.retrieval.corpus_dtype]
+        self.dense = DenseIndex(dim=dim, capacity_block=65536, tile=1024,
+                                dtype=corpus_dtype)
         self.lexical = LexicalIndex()
         self.cost_tracker = CostTracker() \
             if s.flags.enable_cost_tracking else None

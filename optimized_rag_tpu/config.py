@@ -107,6 +107,9 @@ class RetrievalConfig:
     bm25_b: float = 0.75
     max_query_terms: int = 32
     shard_axis: str = "data"        # mesh axis the corpus is sharded over
+    # "bfloat16" halves the HBM read; DenseIndex then oversamples 4x and
+    # rescores with f32 accumulation (measured recall 1.0 vs f32 oracle).
+    corpus_dtype: str = "float32"
 
 
 @dataclass

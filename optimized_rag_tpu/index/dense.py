@@ -132,10 +132,23 @@ class DenseIndex:
         # otherwise crowd out genuinely-negative matches).
         slack = min(len(self._tombstones), max(0, self.size - k))
         kk = min(k + slack, self.size)
-        scores, ids = dispatch_topk(q, self._emb, kk, size=self.size,
+        if self.dtype == jnp.bfloat16 and self.size > 4 * kk:
+            # bf16 storage (half the HBM read): oversample 4x in the fast
+            # low-precision pass, then rescore candidates with float32
+            # accumulation — measured recall 1.0 vs the f32 oracle
+            # (docs/RESULTS_r1.md kernel-level options).
+            from optimized_rag_tpu.ops.topk import rescore_topk
+            _, cand = dispatch_topk(q, self._emb, 4 * kk, size=self.size,
                                     prefer_pallas=prefer_pallas,
                                     tile=self.tile,
                                     approx_tile_k=approx_tile_k)
+            scores, ids = rescore_topk(q, self._emb,
+                                       jnp.asarray(np.asarray(cand)), kk)
+        else:
+            scores, ids = dispatch_topk(q, self._emb, kk, size=self.size,
+                                        prefer_pallas=prefer_pallas,
+                                        tile=self.tile,
+                                        approx_tile_k=approx_tile_k)
         scores, ids = np.asarray(scores), np.asarray(ids, np.int64)
         if self._tombstones or kk > k:
             out_s = np.full((scores.shape[0], k), -np.inf, np.float32)

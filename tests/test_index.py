@@ -286,3 +286,40 @@ def test_ivf_balanced_build_recall(rng):
     recall = np.mean([len(set(ids[r]) & set(oracle[r])) / 10
                       for r in range(16)])
     assert recall >= 0.95, recall
+
+
+def test_bf16_storage_rescore_matches_f32_oracle(rng):
+    """bfloat16 corpus + 4x oversample + f32 rescore recovers the exact
+    f32 ranking (the corpus_dtype='bfloat16' setting path)."""
+    docs = _unit(rng, 4096, 64)
+    f32 = DenseIndex(dim=64, capacity_block=4096, tile=256)
+    f32.add(docs)
+    bf16 = DenseIndex(dim=64, capacity_block=4096, tile=256,
+                      dtype=jnp.bfloat16)
+    bf16.add(docs)
+    q = _unit(rng, 8, 64)
+    want = f32.search(q, k=10)
+    got = bf16.search(q, k=10)
+    recall = np.mean([len(set(got.ids[r]) & set(want.ids[r])) / 10
+                      for r in range(8)])
+    assert recall == 1.0, recall
+    # rescored scores carry f32 accumulation (bf16-quantized vectors)
+    np.testing.assert_allclose(got.scores, want.scores, atol=8e-3)
+
+
+def test_agent_corpus_dtype_setting():
+    import sys
+    sys.path.insert(0, "tests")
+    from fakes import FakeCrossEncoder, FakeEmbedder
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    from optimized_rag_tpu.config import Settings
+    s = Settings.from_env({"ORAG_RETRIEVAL_CORPUS_DTYPE": "bfloat16",
+                           "ORAG_FLAGS_ENABLE_METRICS_EXPORT": "0"})
+    a = RAGAgent(s, llm=DeterministicLLM(),
+                 embed_service=FakeEmbedder(dim=32),
+                 cross_encoder=FakeCrossEncoder())
+    assert a.dense.dtype == jnp.bfloat16
+    a.ingestor.ingest_text("the quick brown fox document")
+    docs = a.retriever.dense_only("quick brown fox", 3)
+    assert docs
