@@ -155,7 +155,9 @@ class RAGAgent:
             get_text=self.store.chunk_text,
             get_created_at=self.store.chunk_created_at,
             half_life_days=s.retrieval.recency_half_life_days,
-            candidate_k=s.retrieval.candidate_k)
+            candidate_k=s.retrieval.candidate_k,
+            encoder=(embed_service if s.retrieval.fuse_query_encoder
+                     and hasattr(embed_service, "_fwd") else None))
         self.weight_manager = DynamicWeightManager(
             agent_id=s.agent_id, learning_rate=s.adaptive.learning_rate,
             window_size=s.adaptive.window_size,
@@ -174,6 +176,20 @@ class RAGAgent:
         self.reranker = SelectiveReranker(
             cross_encoder=self.cross_encoder, embed_fn=self.embed_fn,
             config=s.rerank)
+        # One-dispatch post-retrieval scoring (rerank+MMR+relevance+
+        # consistency); keeps the SelectiveReranker policy/stats.
+        # The fused path drives the cross-encoder's jitted forward
+        # directly; injected test fakes without one fall back to the
+        # modular components.
+        if s.flags.enable_fused_turn and (
+                self.cross_encoder is None
+                or hasattr(self.cross_encoder, "_fwd")):
+            from optimized_rag_tpu.engine.fused import FusedRerankEval
+            self.fused_eval = FusedRerankEval(
+                self.reranker, self.embed_fn,
+                cross_encoder=self.cross_encoder)
+        else:
+            self.fused_eval = None
         self.compressor = ContextCompressor(
             self.embed_fn, max_tokens=s.context.compression_target_tokens,
             semantic_weight=s.context.semantic_weight,
@@ -460,6 +476,17 @@ class RAGAgent:
             if self.cross_encoder is not None:
                 doc = " ".join(f"w{i}" for i in range(max(rung - 8, 2)))
                 self.cross_encoder.score_pairs("warm query", [doc] * 5)
+                if self.fused_eval is not None:
+                    # The fused dispatch re-traces the cross-encoder
+                    # forward inside its own jit, so each pair-length
+                    # rung needs a fused compile of its own.
+                    from optimized_rag_tpu.engine.types import (
+                        Intent as _I, RetrievedDoc as _RD)
+                    wdocs = [_RD(doc_id=-1, score=0.5, text=doc)
+                             for _ in range(5)]
+                    self.fused_eval.run("warm query", wdocs,
+                                        _I.QUESTION_ANSWERING,
+                                        k_mmr=5, lam=0.7)
         if self.dense.size > 0:
             # Full hybrid path: compiles dual_topk + fuse_candidates +
             # blend/cosine helpers on the live corpus shapes.
@@ -470,7 +497,7 @@ class RAGAgent:
         if self.cross_encoder is not None:
             self.cross_encoder.score_pairs("warmup", ["warmup doc"])
         if deep:
-            from optimized_rag_tpu.engine.types import RetrievedDoc
+            from optimized_rag_tpu.engine.types import Intent, RetrievedDoc
             docs = [RetrievedDoc(doc_id=-1, score=0.5,
                                  text=f"warmup doc {i}") for i in range(5)]
             self.selfrag.evaluate_retrieval("warmup query", docs)
@@ -480,6 +507,17 @@ class RAGAgent:
                         [f"warmup claim {i}" for i in range(n)],
                         "warmup evidence text")
             self.consistency.check_consistency(docs)
+            if self.fused_eval is not None:
+                # Compile the fused rerank/eval dispatch for the common
+                # candidate-count buckets (8, 16) in both routing modes.
+                for n_docs in (5, 10):
+                    wdocs = [RetrievedDoc(doc_id=-1, score=0.5,
+                                          text=f"warmup doc {i}")
+                             for i in range(n_docs)]
+                    for it in (Intent.QUESTION_ANSWERING,
+                               Intent.CONVERSATIONAL):
+                        self.fused_eval.run("warmup query", list(wdocs),
+                                            it, k_mmr=5, lam=0.7)
         return time.time() - t0
 
     # ------------------------------------------------------------------ chat

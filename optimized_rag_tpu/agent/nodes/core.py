@@ -155,13 +155,23 @@ def rerank_and_eval(state: AgentState, agent) -> None:
     if not docs:
         state.relevance_score = 0.0
         return
-    docs = agent.reranker.rerank(query, docs, state.query_intent)
     from optimized_rag_tpu.engine.types import retrieval_strategy
     strategy = retrieval_strategy(state.query_intent)
     lam = 1.0 - strategy["diversity_weight"]
-    docs = agent.reranker.apply_mmr(docs, k=min(5, len(docs)), lam=lam)
-
-    ev = agent.selfrag.evaluate_retrieval(query, docs)
+    fused_sim = None
+    fe = getattr(agent, "fused_eval", None)
+    if fe is not None:
+        # One device dispatch for rerank + MMR + relevance + pairwise
+        # consistency (ops/fused_eval.py) — behavior-parity with the
+        # modular sequence below, minus three round trips.
+        res = fe.run(query, docs, state.query_intent,
+                     k_mmr=min(5, len(docs)), lam=lam)
+        docs, fused_sim = res["docs"], res["sim"]
+        ev = res
+    else:
+        docs = agent.reranker.rerank(query, docs, state.query_intent)
+        docs = agent.reranker.apply_mmr(docs, k=min(5, len(docs)), lam=lam)
+        ev = agent.selfrag.evaluate_retrieval(query, docs)
     state.relevance_score = ev["relevance"]
     # Carry Self-RAG relevance into later tier-confidence evaluations
     # (reference rerank_and_eval.py:197-199).
@@ -180,6 +190,7 @@ def rerank_and_eval(state: AgentState, agent) -> None:
     prog = agent.settings.loops.progressive_top_k
     while agent.selfrag.should_reretrieve(state.relevance_score,
                                           state.reretrieve_attempts, max_re):
+        fused_sim = None  # docs change below; the fused matrix is stale
         state.reretrieve_attempts += 1
         k = prog[min(state.reretrieve_attempts, len(prog) - 1)]
         alt_q = agent.query_rewriter.expand_query(query)[-1]
@@ -191,9 +202,11 @@ def rerank_and_eval(state: AgentState, agent) -> None:
         state.relevance_score = ev["relevance"]
         state.semantic_confidence = ev["relevance"]
 
-    # Consistency check (:160-194).
+    # Consistency check (:160-194). The fused dispatch already computed
+    # the pairwise-cosine matrix for the selected docs; reuse it.
     if agent.settings.flags.enable_consistency_check and len(docs) > 1:
-        state.consistency = agent.consistency.check_consistency(docs)
+        state.consistency = agent.consistency.check_consistency(
+            docs, sim=fused_sim)
         if not state.consistency["consistent"]:
             state.warnings.append(
                 f"{len(state.consistency['contradictions'])} contradiction(s)"

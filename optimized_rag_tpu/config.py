@@ -110,6 +110,10 @@ class RetrievalConfig:
     # "bfloat16" halves the HBM read; DenseIndex then oversamples 4x and
     # rescores with f32 accumulation (measured recall 1.0 vs f32 oracle).
     corpus_dtype: str = "float32"
+    # Run the whole hybrid query (encoder forward + dual top-k + fusion)
+    # as ONE device dispatch (ops/fused_query.py). Per-dispatch RTT
+    # dominates warm-turn latency on tunneled TPU runtimes.
+    fuse_query_encoder: bool = True
 
 
 @dataclass
@@ -288,6 +292,10 @@ class Flags:
     enable_cost_tracking: bool = True
     enable_metrics_export: bool = True
     enable_profiling: bool = False
+    # Fuse rerank + MMR + relevance + consistency scoring into one device
+    # dispatch per turn (ops/fused_eval.py). Parity with the modular path
+    # is tested; disable to force the modular components.
+    enable_fused_turn: bool = True
 
 
 @dataclass

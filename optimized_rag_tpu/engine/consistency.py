@@ -52,14 +52,24 @@ class ConsistencyChecker:
         self.penalty = contradiction_penalty
         self.min_confidence = min_confidence
 
-    def check_consistency(self, docs: List[RetrievedDoc]) -> dict:
-        """Returns {consistent, contradictions: [(i, j, sim)], confidence_penalty}."""
+    def check_consistency(self, docs: List[RetrievedDoc],
+                          sim: "np.ndarray | None" = None) -> dict:
+        """Returns {consistent, contradictions: [(i, j, sim)], confidence_penalty}.
+
+        ``sim`` optionally supplies the precomputed pairwise-cosine matrix
+        (e.g. from the fused rerank/eval dispatch, ops/fused_eval.py) so no
+        extra device round trip is spent here.
+        """
         if len(docs) < 2:
             return {"consistent": True, "contradictions": [],
                     "confidence_multiplier": 1.0}
         texts = [d.text for d in docs]
-        emb = self.embed_fn(texts)
-        sim = np.asarray(pairwise_cosine(jnp.asarray(emb)))
+        if sim is None:
+            emb = self.embed_fn(texts)
+            sim = np.asarray(pairwise_cosine(jnp.asarray(emb)))
+        else:
+            sim = np.asarray(sim)
+            assert sim.shape == (len(docs), len(docs)), sim.shape
         # Only pairs with high topical similarity can "contradict".
         cand = np.argwhere(np.triu(sim, k=1) >= self.sim_threshold)
         contradictions = []

@@ -19,6 +19,8 @@ from __future__ import annotations
 import time
 from typing import Callable, Dict, List, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from optimized_rag_tpu.engine.types import (
@@ -43,8 +45,16 @@ class HybridRetriever:
                  get_created_at: Optional[Callable[[int], float]] = None,
                  half_life_days: float = 30.0,
                  source: Source = Source.DOCUMENTS,
-                 candidate_k: int = 50):
+                 candidate_k: int = 50,
+                 encoder=None):
         self.dense = dense
+        # Optional EmbeddingService: when present, the whole query path
+        # (encoder forward + dual top-k + fusion) runs as ONE device
+        # dispatch (ops/fused_query.py) instead of three.
+        self.encoder = encoder
+        self._created_dev = None   # [capacity] days-since-epoch, device
+        self._created_n = 0
+        self._created_cap = 0
         # Optional ANN candidate source (IVFIndex / ShardedIVFIndex /
         # ShardedDenseIndex) installed by the index policy at scale
         # (index/policy.py). It covers rows [0, ann_size); the exact
@@ -105,6 +115,71 @@ class HybridRetriever:
                                 semantic=float(score)))
         return out
 
+    def _created_days(self) -> jax.Array:
+        """Device array of days-since-epoch per dense row, synced
+        incrementally (host fetches only rows added since last call)."""
+        cap, n = self.dense.capacity, self.dense.size
+        if self._created_dev is None or self._created_cap != cap:
+            old = self._created_dev
+            self._created_dev = jnp.zeros((cap,), jnp.float32)
+            if old is not None and self._created_n > 0:
+                self._created_dev = jax.lax.dynamic_update_slice(
+                    self._created_dev, old[: self._created_n], (0,))
+            self._created_cap = cap
+        if self._created_n < n and self.get_created_at is not None:
+            fresh = np.asarray(
+                [self.get_created_at(i) / 86400.0
+                 for i in range(self._created_n, n)], np.float32)
+            self._created_dev = jax.lax.dynamic_update_slice(
+                self._created_dev, jnp.asarray(fresh), (self._created_n,))
+            self._created_n = n
+        return self._created_dev
+
+    def _fused_query(self, query: str, top_k: int,
+                     weights: Dict[str, float]) -> List[RetrievedDoc]:
+        """ONE-dispatch hybrid query (ops/fused_query.py): encoder forward,
+        dual top-k, union dedup, and fusion all ride a single round trip.
+        The query embedding comes back in the same buffer and is cached so
+        downstream stages (rerank/eval) reuse it for free."""
+        from optimized_rag_tpu.ops.fused_query import encode_and_retrieve
+        enc = self.encoder
+        if self.lexical._device is None:
+            self.lexical.build()
+        dvc = self.lexical._device
+        qt, qv = self.lexical.encode_query(query)
+        q_ids, q_mask = enc.tokenizer.encode_batch([query], enc.max_len)
+        ck = min(max(self.candidate_k, top_k), self.dense.size)
+        if self.get_created_at is not None:
+            created = self._created_days()
+            w_tmp = weights.get("temporal", 0.10)
+        else:
+            created = jnp.zeros((self.dense.capacity,), jnp.float32)
+            w_tmp = 0.0
+        w = np.asarray([weights.get("semantic", 0.55),
+                        weights.get("keyword", 0.35), w_tmp], np.float32)
+        packed = np.asarray(encode_and_retrieve(
+            enc.params, q_ids, q_mask,
+            self.dense.embeddings(), self.dense.size,
+            qt, qv, dvc["champ_docs"], dvc["champ_tf"], dvc["champ_valid"],
+            dvc["idf"], dvc["doc_len"], dvc["avg_len"],
+            created, time.time() / 86400.0,
+            w, self.half_life_days,
+            encode_fn=enc._fwd, matryoshka_dim=enc.matryoshka_dim,
+            candidate_k=ck, k=min(top_k, 2 * ck),
+            k1=self.lexical.k1, b=self.lexical.b))
+        k = min(top_k, 2 * ck)
+        enc.cache_put(query, packed[5, : enc.dim])
+        out = []
+        for col in range(k):
+            did = int(packed[1, col])
+            if did < 0 or packed[0, col] <= NEG_INF_HALF:
+                continue
+            out.append(self._mk(did, float(packed[0, col]),
+                                semantic=float(packed[2, col]),
+                                keyword=float(packed[3, col]),
+                                temporal=float(packed[4, col])))
+        return out
+
     def hybrid_search(self, query: str, top_k: int,
                       intent: Intent | str | None = None,
                       weights: Optional[Dict[str, float]] = None,
@@ -113,6 +188,14 @@ class HybridRetriever:
         if weights is None:
             a, b, g = intent_weights(intent)
             weights = {"semantic": a, "keyword": b, "temporal": g}
+        # Fastest path: the ENTIRE query (encoder forward included) in one
+        # device dispatch. Needs the encoder service, a clean dense index
+        # (no ANN overlay / tombstones), and a built lexical channel.
+        if (self.encoder is not None and query_embedding is None
+                and self.lexical is not None and self.lexical.size > 0
+                and self.ann is None and not self.dense._tombstones
+                and self.dense.size > 0):
+            return self._fused_query(query, top_k, weights)
         ck = max(self.candidate_k, top_k)
         q = (query_embedding if query_embedding is not None
              else self.embed_fn([query]))

@@ -222,6 +222,15 @@ class EmbeddingService:
     def encode_one(self, text: str) -> np.ndarray:
         return self.encode([text])[0]
 
+    def cache_put(self, text: str, vec: np.ndarray) -> None:
+        """Insert an externally-computed embedding (e.g. the query vector
+        that rode back from the fused retrieval dispatch,
+        ops/fused_query.py) so later stages get a cache hit instead of a
+        fresh forward."""
+        if len(self._cache) >= self._cache_size:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[text] = np.asarray(vec, np.float32)
+
     def cache_stats(self) -> dict:
         total = self.stats["hits"] + self.stats["misses"]
         return {**self.stats,
