@@ -38,9 +38,31 @@ def real_chunks() -> list:
     return texts
 
 
+def ict_holdout_recall(service, held_out: list, k: int = 10,
+                       n_queries: int = 200, seed: int = 5) -> float:
+    """Real-text retrieval quality: ICT spans from held-out chunks must
+    retrieve their source chunk. Measures generalization beyond the
+    synthetic topic structure."""
+    from optimized_rag_tpu.index.dense import DenseIndex
+    from optimized_rag_tpu.models.pretrain import ICTSampler
+    idx = DenseIndex(dim=service.dim, capacity_block=1024, tile=256)
+    idx.add(service.encode(held_out))
+    sampler = ICTSampler(held_out, min_span=3, max_span=8)
+    rng = np.random.default_rng(seed)
+    q, _, picks = sampler.sample(rng, n_queries)
+    hits = 0
+    ids = idx.search(service.encode(q), k).ids
+    for row, want in zip(ids, picks):
+        hits += int(want in row.tolist())
+    return hits / n_queries
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="0 = profile default")
+    ap.add_argument("--profile", choices=("small", "large"),
+                    default="small")
     ap.add_argument("--out", default=os.path.join(REPO, "checkpoints",
                                                   "pretrained"))
     args = ap.parse_args()
@@ -58,18 +80,36 @@ def main() -> None:
     print(f"backend={jax.default_backend()}", flush=True)
     mesh = make_mesh(data=len(jax.devices()), model=1)
     real = real_chunks()
+    if args.profile == "large":
+        # MiniLM-class encoder (6L/384 — the shapes tile the MXU cleanly:
+        # 384=3*128, 1536=12*128) on the docstring-harvest corpus.
+        from optimized_rag_tpu.models.corpus import harvest_docstrings
+        docstrings = harvest_docstrings()
+        held_out, docstrings = docstrings[:300], docstrings[300:]
+        real = real + docstrings
+        enc_cfg = TransformerConfig(vocab_size=32768, hidden_dim=384,
+                                    num_layers=6, num_heads=12,
+                                    mlp_dim=1536, max_seq_len=128,
+                                    out_dim=384)
+        dec_cfg = DecoderConfig(hidden_dim=256, num_layers=4, num_heads=4,
+                                mlp_dim=1024, max_seq_len=1024)
+        steps = args.steps or 2500
+    else:
+        held_out = []
+        enc_cfg = TransformerConfig(vocab_size=16384, hidden_dim=256,
+                                    num_layers=4, num_heads=8, mlp_dim=1024,
+                                    max_seq_len=128, out_dim=256)
+        dec_cfg = DecoderConfig(hidden_dim=256, num_layers=4, num_heads=4,
+                                mlp_dim=1024, max_seq_len=1024)
+        steps = args.steps or 1200
     texts = pretrain.default_corpus(real)
-    print(f"corpus: {len(texts)} chunks ({len(real)} real)", flush=True)
+    print(f"corpus: {len(texts)} chunks ({len(real)} real), "
+          f"steps={steps}", flush=True)
 
-    enc_cfg = TransformerConfig(vocab_size=16384, hidden_dim=256,
-                                num_layers=4, num_heads=8, mlp_dim=1024,
-                                max_seq_len=128, out_dim=256)
-    dec_cfg = DecoderConfig(hidden_dim=256, num_layers=4, num_heads=4,
-                            mlp_dim=1024, max_seq_len=1024)
     t0 = time.time()
     losses = pretrain.pretrain_all(
         args.out, texts, encoder_cfg=enc_cfg, cross_cfg=enc_cfg,
-        decoder_cfg=dec_cfg, mesh=mesh, steps=args.steps, batch=128,
+        decoder_cfg=dec_cfg, mesh=mesh, steps=steps, batch=128,
         store_dtype=np.float16, decoder_texts=real,
         log=lambda m: print(m, flush=True))
     print(f"losses: {losses} ({time.time() - t0:.0f}s)", flush=True)
@@ -87,11 +127,18 @@ def main() -> None:
             return idx.search(service.encode([q]), k).ids[0].tolist()
         return evaluate_retriever(retrieve, ds, k=10)["recall@10"]
 
-    r_trained = recall(EmbeddingService(cfg_t, params=params_t, max_len=64))
+    svc_t = EmbeddingService(cfg_t, params=params_t, max_len=64)
+    r_trained = recall(svc_t)
     r_random = recall(EmbeddingService(enc_cfg, max_len=64, seed=7))
     print(f"recall@10 trained={r_trained:.3f} random={r_random:.3f}",
           flush=True)
     assert r_trained > r_random, "trained encoder must win"
+    if held_out:
+        ict_t = ict_holdout_recall(svc_t, held_out)
+        ict_r = ict_holdout_recall(
+            EmbeddingService(enc_cfg, max_len=64, seed=7), held_out)
+        print(f"ICT-holdout recall@10 trained={ict_t:.3f} "
+              f"random={ict_r:.3f}", flush=True)
 
     dcfg, dparams = pretrain.load_pretrained(args.out, "decoder")
     gen = Generator(dcfg, params=dparams, max_prompt_len=256,

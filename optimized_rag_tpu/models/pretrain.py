@@ -42,22 +42,42 @@ _WORDS = re.compile(r"[\w#]+")
 # Example synthesis (self-supervised, label-free)
 # ---------------------------------------------------------------------------
 
+class ICTSampler:
+    """Inverse-Cloze-Task pair sampler with the corpus tokenized ONCE.
+
+    The original ``ict_pairs`` re-ran the word regex over the whole corpus
+    every call — O(corpus) host work per training step, which dominates
+    step time once the corpus outgrows a few hundred chunks.
+    """
+
+    def __init__(self, texts: Sequence[str], min_span: int = 2,
+                 max_span: int = 8):
+        self.texts = list(texts)
+        self.min_span = min_span
+        self.max_span = max_span
+        self.words_per = [_WORDS.findall(t.lower()) for t in self.texts]
+        self.usable = np.asarray(
+            [i for i, w in enumerate(self.words_per) if len(w) >= min_span])
+        if len(self.usable) == 0:
+            raise ValueError("no usable training texts")
+
+    def sample(self, rng: np.random.Generator, n: int):
+        """Returns (query spans, source chunks, chunk indices)."""
+        queries, docs = [], []
+        picks = rng.choice(self.usable, n)
+        for i in picks:
+            words = self.words_per[i]
+            span = int(rng.integers(self.min_span, self.max_span + 1))
+            start = int(rng.integers(0, max(len(words) - span, 0) + 1))
+            queries.append(" ".join(words[start:start + span]))
+            docs.append(self.texts[i])
+        return queries, docs, picks
+
+
 def ict_pairs(texts: Sequence[str], rng: np.random.Generator, n: int,
               min_span: int = 2, max_span: int = 8):
     """Inverse-Cloze-Task pairs: (query span, source chunk)."""
-    queries, docs = [], []
-    words_per = [_WORDS.findall(t.lower()) for t in texts]
-    usable = [i for i, w in enumerate(words_per) if len(w) >= min_span]
-    if not usable:
-        raise ValueError("no usable training texts")
-    picks = rng.choice(usable, n)
-    for i in picks:
-        words = words_per[i]
-        span = int(rng.integers(min_span, max_span + 1))
-        start = int(rng.integers(0, max(len(words) - span, 0) + 1))
-        queries.append(" ".join(words[start:start + span]))
-        docs.append(texts[i])
-    return queries, docs, picks
+    return ICTSampler(texts, min_span, max_span).sample(rng, n)
 
 
 def _encode_batch(tokenizer, texts, max_len):
@@ -80,10 +100,11 @@ def train_biencoder(texts: Sequence[str], cfg: TransformerConfig,
     tok = HashTokenizer(cfg.vocab_size, max_len)
     trainer = BiEncoderTrainer(cfg, mesh, learning_rate=learning_rate,
                                seed=seed)
+    sampler = ICTSampler(texts)
     loss = float("nan")
     t0 = time.time()
     for step in range(steps):
-        q, d, _ = ict_pairs(texts, rng, batch)
+        q, d, _ = sampler.sample(rng, batch)
         q_ids, q_mask = _encode_batch(tok, q, max_len)
         d_ids, d_mask = _encode_batch(tok, d, max_len)
         loss = trainer.train_step(q_ids, q_mask, d_ids, d_mask)
@@ -105,11 +126,12 @@ def train_cross_encoder(texts: Sequence[str], cfg: TransformerConfig,
     tok = HashTokenizer(cfg.vocab_size, max_len)
     trainer = CrossEncoderTrainer(cfg, mesh, learning_rate=learning_rate,
                                   seed=seed)
+    sampler = ICTSampler(texts)
     loss = float("nan")
     t0 = time.time()
     half = batch // 2
     for step in range(steps):
-        q, d, picks = ict_pairs(texts, rng, half)
+        q, d, picks = sampler.sample(rng, half)
         # negatives: same spans against different chunks
         neg_idx = rng.integers(0, len(texts), half)
         neg_idx = np.where(neg_idx == picks,
