@@ -51,8 +51,24 @@ class DeterministicLLM:
 
     @staticmethod
     def _context_docs(prompt: str) -> List[str]:
-        """Pull [N]-tagged context lines out of a generation prompt."""
-        return re.findall(r"^\[(?:\d+)\]\s*(.+)$", prompt, re.MULTILINE)
+        """Pull [N]-tagged context items out of a generation prompt.
+
+        Items are multi-line (chunk text keeps its newlines): each runs
+        until the next ``[N]`` line; the last one stops at the blank line
+        before the Question/Query/Answer trailer.
+        """
+        starts = list(re.finditer(r"^\[\d+\][ \t]*", prompt, re.MULTILINE))
+        docs = []
+        for j, m in enumerate(starts):
+            end = starts[j + 1].start() if j + 1 < len(starts) \
+                else len(prompt)
+            text = prompt[m.end():end]
+            if j + 1 == len(starts):
+                text = re.split(
+                    r"\n\s*\n(?=(?:Core memory|Question|Query|Answer)\b)",
+                    text)[0]
+            docs.append(" ".join(text.split()))
+        return docs
 
     @staticmethod
     def _query_of(prompt: str) -> str:
@@ -188,16 +204,28 @@ class DeterministicLLM:
         q_words = set(re.findall(r"[a-z0-9]+",
                                  self._query_of(prompt).lower()))
 
+        noise = {"user", "assistant", "conversation"}
+
         def overlap(text):
             return len(q_words & set(re.findall(r"[a-z0-9]+", text.lower())))
 
+        def novel(text):
+            # Content words beyond the query's own: an item that only
+            # echoes the query (e.g. the user's question surfaced from
+            # recall memory, possibly with [N] citation markers from a
+            # stored answer) answers nothing.
+            text = re.sub(r"\[\d+\]", " ", text.lower())
+            return len(set(re.findall(r"[a-z0-9]+", text))
+                       - q_words - noise)
+
         ranked = sorted(range(len(docs)), key=lambda i: -overlap(docs[i]))
+        ranked.sort(key=lambda i: novel(docs[i]) == 0)   # echoes last
         parts = []
         for i in ranked[:2]:
             if overlap(docs[i]) == 0 and parts:
                 continue
             sents = re.split(r"(?<=[.!?])\s+", docs[i].strip())
-            best = max(sents, key=overlap)
+            best = max(sents, key=lambda s: (novel(s) > 0, overlap(s)))
             parts.append(f"{best} [{i + 1}]")
         return " ".join(parts)
 

@@ -429,3 +429,49 @@ def test_detector_no_history_is_never_reference():
     d = _detector()
     assert not d.detect("what was my first question?", [])[
         "referenced_index"]
+
+
+# ------------------------------------------------------- deterministic llm
+def test_deterministic_llm_reads_multiline_context_items():
+    """Chunk text keeps its newlines; the fake LLM must see every line of
+    a [N] context item, not just the first (regression: the answer to a
+    question about line 2 came from line 1)."""
+    from optimized_rag_tpu.agent import prompts
+    llm = DeterministicLLM()
+    context = ("[1] The quarterly revenue grew 14 percent.\n"
+               "The new TPU pod reduced training time from nine days "
+               "to two days.\n"
+               "[2] Unrelated filler about databases.")
+    prompt = prompts.GENERATE_PROMPT.format(
+        core_memory="(none)", context=context,
+        query="What reduced the training time?")
+    docs = llm._context_docs(prompt)
+    assert len(docs) == 2
+    assert "reduced training time" in docs[0]
+    assert docs[1] == "Unrelated filler about databases."
+    answer = llm.complete(prompt, task="generate")
+    assert "TPU pod" in answer and "[1]" in answer
+
+
+def test_deterministic_llm_last_context_item_stops_at_trailer():
+    llm = DeterministicLLM()
+    prompt = ("Context:\n[1] Only item, single line.\n\n"
+              "Question: anything?\nAnswer:")
+    assert llm._context_docs(prompt) == ["Only item, single line."]
+
+
+def test_deterministic_llm_skips_query_echo_context():
+    """A recall-memory item that merely echoes the user's question must not
+    be chosen as the answer when a content-bearing document is present."""
+    from optimized_rag_tpu.agent import prompts
+    llm = DeterministicLLM()
+    context = ("[1] [Conversation] user: What reduced the training time?\n"
+               "[2] assistant: What reduced the training time? [3]\n"
+               "[3] The new TPU pod reduced training time from nine days "
+               "to two days.")
+    prompt = prompts.GENERATE_PROMPT.format(
+        core_memory="(none)", context=context,
+        query="What reduced the training time?")
+    answer = llm.complete(prompt, task="generate")
+    assert answer.startswith("The new TPU pod"), answer
+    assert "[3]" in answer
