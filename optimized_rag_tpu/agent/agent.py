@@ -64,6 +64,12 @@ class RAGAgent:
         self.llm = llm or DeterministicLLM()
         s = self.settings
 
+        # Reuse compiled executables across processes (utils/compile_cache):
+        # must run before the first jitted call below.
+        from optimized_rag_tpu.utils.compile_cache import (
+            setup_compilation_cache)
+        setup_compilation_cache(s)
+
         # Models (on-device; built lazily if not injected). Trained
         # checkpoints auto-load — search order: <data_dir>/models, then the
         # repo's bundled checkpoints/pretrained (models/pretrain.py); the

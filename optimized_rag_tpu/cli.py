@@ -136,6 +136,9 @@ def cmd_train(args) -> int:
     from optimized_rag_tpu.store.db import MetadataStore
 
     settings = Settings.from_env()
+    from optimized_rag_tpu.utils.compile_cache import (
+        setup_compilation_cache)
+    setup_compilation_cache(settings)
     out_dir = args.out or os.path.join(settings.data_dir, "models")
     # Real chunks from the ingested store, when any exist.
     store = MetadataStore(os.path.join(settings.data_dir, "metadata.db"))

@@ -296,6 +296,9 @@ class Flags:
     # dispatch per turn (ops/fused_eval.py). Parity with the modular path
     # is tested; disable to force the modular components.
     enable_fused_turn: bool = True
+    # Persist compiled XLA executables under <data_dir>/xla_cache so a new
+    # process (CLI chat/ingest/serve) skips the 40-90 s encoder compile.
+    enable_compilation_cache: bool = True
 
 
 @dataclass

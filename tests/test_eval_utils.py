@@ -195,3 +195,27 @@ def test_env_example_covers_all_vars(tmp_path):
     text = out.read_text()
     for _, name, _ in Settings.env_var_names():
         assert name in text, name
+
+
+# ------------------------------------------------------ compilation cache
+def test_compilation_cache_configured_under_data_dir(tmp_path):
+    import jax
+    from optimized_rag_tpu.config import Settings
+    from optimized_rag_tpu.utils import compile_cache
+    s = Settings()
+    s.data_dir = str(tmp_path)
+    assert compile_cache.setup_compilation_cache(s)
+    assert jax.config.jax_compilation_cache_dir == str(
+        tmp_path / "xla_cache")
+    assert (tmp_path / "xla_cache").is_dir()
+    assert compile_cache.setup_compilation_cache(s)   # idempotent
+
+
+def test_compilation_cache_flag_off(tmp_path):
+    from optimized_rag_tpu.config import Settings
+    from optimized_rag_tpu.utils import compile_cache
+    s = Settings()
+    s.data_dir = str(tmp_path)
+    s.flags.enable_compilation_cache = False
+    assert not compile_cache.setup_compilation_cache(s)
+    assert not (tmp_path / "xla_cache").exists()
