@@ -1,0 +1,135 @@
+"""Serving-path benchmark: concurrent callers through the micro-batching
+QueryServer (serving.py) against the trained encoder + DenseIndex.
+
+The reference's serving story is a single-user REPL where one query takes
+minutes (SURVEY.md §6); this measures the multi-tenant path a production
+deployment actually runs: N threads submit queries concurrently, the
+dispatcher coalesces them into batched embed + fused top-k dispatches.
+
+Usage:  python benchmarks/bench_serving.py [--docs 20000] [--clients 64]
+Prints per-configuration latency/throughput lines, then one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--clients", type=int, default=64)
+    ap.add_argument("--queries-per-client", type=int, default=20)
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--workers", type=int, default=2,
+                    help="dispatcher threads (2 = depth-2 pipeline)")
+    args = ap.parse_args()
+
+    import jax
+    from optimized_rag_tpu.index.dense import DenseIndex
+    from optimized_rag_tpu.models import pretrain
+    from optimized_rag_tpu.models.encoder import EmbeddingService
+    from optimized_rag_tpu.serving import QueryServer
+    from optimized_rag_tpu.models.corpus import harvest_docstrings
+
+    log(f"backend={jax.default_backend()}")
+    loaded = pretrain.load_pretrained(
+        os.path.join(REPO, "checkpoints", "pretrained"), "biencoder")
+    if loaded is None:
+        sys.exit("no bundled checkpoint under checkpoints/pretrained — "
+                 "train one with: python -m optimized_rag_tpu train")
+    cfg, params = loaded
+    svc = EmbeddingService(cfg, params=params, max_len=64, cache_size=0)
+
+    texts = harvest_docstrings(max_chunks=args.docs)
+    if len(texts) < args.docs:
+        texts = (texts * (args.docs // max(len(texts), 1) + 1))[:args.docs]
+    log(f"corpus: {len(texts)} real-text chunks")
+
+    idx = DenseIndex(dim=svc.dim, capacity_block=1 << 15, tile=1024)
+    t0 = time.perf_counter()
+    bs = 512
+    for i in range(0, len(texts), bs):
+        idx.add(svc.encode(texts[i:i + bs]))
+    log(f"indexed in {time.perf_counter() - t0:.0f}s")
+
+    # Queries: spans drawn from the corpus (ICT-style, so top-1 should
+    # usually be the source chunk — sanity, not the metric here).
+    rng = np.random.default_rng(7)
+    from optimized_rag_tpu.models.pretrain import ICTSampler
+    sampler = ICTSampler(texts, min_span=3, max_span=8)
+    queries, _, _ = sampler.sample(rng, args.clients *
+                                   args.queries_per_client)
+
+    server = QueryServer(svc.encode, idx, max_batch=args.max_batch,
+                         max_wait_ms=args.max_wait_ms,
+                         workers=args.workers)
+    server.start()
+    # Warm every bucket the dispatcher can hit.
+    for warm_b in (1, args.max_batch):
+        futs = [server.submit(q) for q in queries[:warm_b]]
+        for f in futs:
+            f.result(timeout=300)
+
+    lat_ms = []
+    lat_lock = threading.Lock()
+
+    def client(cid: int):
+        mine = queries[cid * args.queries_per_client:
+                       (cid + 1) * args.queries_per_client]
+        for q in mine:
+            t0 = time.perf_counter()
+            server.search(q, k=10, timeout=120)
+            dt = (time.perf_counter() - t0) * 1e3
+            with lat_lock:
+                lat_ms.append(dt)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    server.stop()
+
+    lat = np.sort(np.asarray(lat_ms))
+    n = len(lat)
+    qps = n / wall
+    stats = server.get_stats()
+    log(f"{args.clients} clients x {args.queries_per_client} queries: "
+        f"{wall:.1f}s wall -> {qps:.0f} qps end-to-end "
+        f"(encode+search, avg batch {stats['avg_batch']:.1f})")
+    log(f"latency p50={lat[n // 2]:.0f} ms p90={lat[int(n * .9)]:.0f} ms "
+        f"p99={lat[int(n * .99)]:.0f} ms")
+    print(json.dumps({
+        "metric": f"serving_qps_{len(texts)}docs_{args.clients}clients",
+        "value": round(qps, 1),
+        "unit": "qps/chip",
+        "p50_ms": round(float(lat[n // 2]), 1),
+        "p90_ms": round(float(lat[int(n * .9)]), 1),
+        "p99_ms": round(float(lat[int(n * .99)]), 1),
+        "avg_batch": round(stats["avg_batch"], 1),
+        "workers": args.workers,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

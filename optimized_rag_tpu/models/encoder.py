@@ -16,6 +16,7 @@ bfloat16 with float32 layernorm/softmax accumulation.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Any
 
 import flax.linen as nn
@@ -166,6 +167,10 @@ class EmbeddingService:
         self._fwd = jax.jit(self.model.apply)
         self._cache: dict[str, np.ndarray] = {}
         self._cache_size = cache_size
+        # Concurrent callers (serving.QueryServer runs 2 dispatcher
+        # threads) share this cache — same locking the reference's
+        # embedding LRU carries (memory/embeddings.py:51-52).
+        self._cache_lock = threading.Lock()
         self.stats = {"hits": 0, "misses": 0}
 
     @property
@@ -184,18 +189,19 @@ class EmbeddingService:
         out = np.zeros((len(texts), self.dim), np.float32)
         todo_idx: list[int] = []
         seen: dict[str, list[int]] = {}
-        for i, t in enumerate(texts):
-            hit = self._cache.get(t)
-            if hit is not None:
-                out[i] = hit
-                self.stats["hits"] += 1
-            elif t in seen:              # duplicate within this batch
-                seen[t].append(i)
-                self.stats["hits"] += 1
-            else:
-                seen[t] = []
-                todo_idx.append(i)
-                self.stats["misses"] += 1
+        with self._cache_lock:
+            for i, t in enumerate(texts):
+                hit = self._cache.get(t)
+                if hit is not None:
+                    out[i] = hit
+                    self.stats["hits"] += 1
+                elif t in seen:          # duplicate within this batch
+                    seen[t].append(i)
+                    self.stats["hits"] += 1
+                else:
+                    seen[t] = []
+                    todo_idx.append(i)
+                    self.stats["misses"] += 1
         if todo_idx:
             todo = [texts[i] for i in todo_idx]
             ids, mask = self.tokenizer.encode_batch(todo, self.max_len)
@@ -210,14 +216,21 @@ class EmbeddingService:
                 emb = np.array(emb[:, :self.matryoshka_dim])
                 emb /= np.maximum(
                     np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
-            for j, i in enumerate(todo_idx):
-                out[i] = emb[j]
-                for dup in seen.get(texts[i], ()):
-                    out[dup] = emb[j]
-                if len(self._cache) >= self._cache_size:
-                    self._cache.pop(next(iter(self._cache)))
-                self._cache[texts[i]] = emb[j]
+            with self._cache_lock:
+                for j, i in enumerate(todo_idx):
+                    out[i] = emb[j]
+                    for dup in seen.get(texts[i], ()):
+                        out[dup] = emb[j]
+                    self._cache_insert(texts[i], emb[j])
         return out
+
+    def _cache_insert(self, text: str, vec: np.ndarray) -> None:
+        """LRU insert; caller holds the lock. cache_size<=0 disables."""
+        if self._cache_size <= 0:
+            return
+        while len(self._cache) >= self._cache_size:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[text] = vec
 
     def encode_one(self, text: str) -> np.ndarray:
         return self.encode([text])[0]
@@ -227,9 +240,8 @@ class EmbeddingService:
         that rode back from the fused retrieval dispatch,
         ops/fused_query.py) so later stages get a cache hit instead of a
         fresh forward."""
-        if len(self._cache) >= self._cache_size:
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[text] = np.asarray(vec, np.float32)
+        with self._cache_lock:
+            self._cache_insert(text, np.asarray(vec, np.float32))
 
     def cache_stats(self) -> dict:
         total = self.stats["hits"] + self.stats["misses"]

@@ -36,15 +36,23 @@ class _Request:
 class QueryServer:
     def __init__(self, embed_fn: Callable[[List[str]], np.ndarray],
                  index, max_batch: int = 64, max_wait_ms: float = 5.0,
-                 max_k: int = 100):
+                 max_k: int = 100, workers: int = 2):
         self.embed_fn = embed_fn
         self.index = index            # anything with .search(q_batch, k)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.max_k = max_k
+        # Two dispatcher threads keep two batches in flight: while one
+        # waits on the device result transfer (which releases the GIL —
+        # a ~30 ms round trip through the tunneled runtime), the other
+        # tokenizes and dispatches the next batch. Device execution
+        # still serializes on-chip; only host work and transfer overlap
+        # (same depth-2 pipeline bench.py measures at +57% throughput).
+        self.workers = workers
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
-        self._thread: Optional[threading.Thread] = None
+        self._threads: List[threading.Thread] = []
         self._running = False
+        self._stats_lock = threading.Lock()
         self.stats = {"batches": 0, "queries": 0, "max_batch_seen": 0,
                       "wait_ms_sum": 0.0}
 
@@ -52,15 +60,21 @@ class QueryServer:
 
     def start(self) -> None:
         assert not self._running
+        # Fresh queue: a previous stop() leaves its sentinel circulating
+        # (workers re-put it as they exit), which would kill restarted
+        # workers immediately.
+        self._q = queue.Queue()
         self._running = True
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._threads = [threading.Thread(target=self._loop, daemon=True)
+                         for _ in range(self.workers)]
+        for t in self._threads:
+            t.start()
 
     def stop(self) -> None:
         self._running = False
         self._q.put(None)
-        if self._thread:
-            self._thread.join(timeout=5)
+        for t in self._threads:
+            t.join(timeout=5)
 
     def submit(self, query: str, k: int = 10) -> Future:
         assert self._running, "server not started"
@@ -78,6 +92,7 @@ class QueryServer:
         """Block for the first request, then coalesce briefly."""
         first = self._q.get()
         if first is None:
+            self._q.put(None)  # propagate stop to sibling workers
             return []
         batch = [first]
         deadline = time.perf_counter() + self.max_wait_s
@@ -90,7 +105,7 @@ class QueryServer:
             except queue.Empty:
                 break
             if req is None:
-                self._q.put(None)  # re-signal stop after this batch
+                self._q.put(None)  # re-signal stop for sibling workers
                 break
             batch.append(req)
         return batch
@@ -114,15 +129,17 @@ class QueryServer:
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(exc)
-            self.stats["batches"] += 1
-            self.stats["queries"] += len(batch)
-            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
-                                               len(batch))
-            self.stats["wait_ms_sum"] += sum(
-                (t0 - r.enqueued_at) * 1e3 for r in batch)
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["queries"] += len(batch)
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], len(batch))
+                self.stats["wait_ms_sum"] += sum(
+                    (t0 - r.enqueued_at) * 1e3 for r in batch)
 
     def get_stats(self) -> dict:
-        s = dict(self.stats)
+        with self._stats_lock:
+            s = dict(self.stats)
         s["avg_batch"] = (s["queries"] / s["batches"]) if s["batches"] else 0
         s["avg_queue_wait_ms"] = (s["wait_ms_sum"] / s["queries"]
                                   if s["queries"] else 0.0)

@@ -185,3 +185,41 @@ def test_hf_bert_import_maps_and_runs():
     got = np.asarray(grafted["params"]["trunk"]["emb"]["tok"]["embedding"])
     want = hf.state_dict()["embeddings.word_embeddings.weight"].numpy()
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_embedding_cache_size_zero_disables_caching():
+    from optimized_rag_tpu.models.encoder import (
+        EmbeddingService, TransformerConfig)
+    svc = EmbeddingService(TransformerConfig(
+        vocab_size=512, hidden_dim=32, num_layers=1, num_heads=2,
+        mlp_dim=64, out_dim=32), max_len=16, cache_size=0)
+    out = svc.encode(["hello world", "hello world", "again"])
+    assert out.shape == (3, 32)
+    assert svc.cache_stats()["entries"] == 0
+    svc.cache_put("x", out[0])                   # must not raise
+    assert svc.cache_stats()["entries"] == 0
+
+
+def test_embedding_cache_thread_safe_under_concurrent_encode():
+    import threading
+    from optimized_rag_tpu.models.encoder import (
+        EmbeddingService, TransformerConfig)
+    svc = EmbeddingService(TransformerConfig(
+        vocab_size=512, hidden_dim=32, num_layers=1, num_heads=2,
+        mlp_dim=64, out_dim=32), max_len=16, cache_size=8)
+    errors = []
+
+    def worker(tid):
+        try:
+            for i in range(30):
+                svc.encode([f"text {tid} {i}", f"text {i % 5}"])
+        except Exception as exc:  # pragma: no cover - the regression
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(svc._cache) <= 8

@@ -150,9 +150,11 @@ def test_sharded_index_search_host_work_is_o_k(rng):
     q = np.asarray(jnp.take(idx._emb, jnp.asarray(probe_rows), axis=0),
                    np.float32)
     idx.search(q, k=5)           # warm the compile
-    t0 = time.time()
-    scores, got = idx.search(q, k=5)
-    search_s = time.time() - t0
+    search_s = float("inf")
+    for _ in range(3):           # best-of-3 rides out CI CPU contention
+        t0 = time.time()
+        scores, got = idx.search(q, k=5)
+        search_s = min(search_s, time.time() - t0)
     assert (got[:, 0] == probe_ext).all(), got[:, 0]
     # Device brute force at 1M x 8 on CPU is ~10ms; a rebuilt 1M-entry
     # python dict per query costs ~0.5s+. Generous bound catches the

@@ -77,7 +77,7 @@ def test_server_stop_is_clean(served_index):
     server = QueryServer(emb, idx)
     server.start()
     server.stop()
-    assert not server._thread.is_alive()
+    assert all(not t.is_alive() for t in server._threads)
 
 
 # ------------------------------------------------------------- synthetic eval
@@ -118,3 +118,65 @@ def test_dense_only_vs_hybrid_on_synthetic():
     dense_only = evaluate_retriever(
         lambda q, k: retr.dense_only(q, k), ds, k=10)
     assert hybrid["recall@10"] >= dense_only["recall@10"]
+
+
+def test_queryserver_two_workers_concurrent_correctness():
+    """Two dispatcher threads (the depth-2 serving pipeline) must return
+    the same results as direct search, under concurrent submission."""
+    import threading
+    import numpy as np
+    from optimized_rag_tpu.serving import QueryServer
+    from optimized_rag_tpu.index.dense import DenseIndex
+
+    rng = np.random.default_rng(3)
+    dim = 32
+    corpus = rng.standard_normal((500, dim)).astype(np.float32)
+
+    def embed(texts):
+        # Deterministic per-text vector: seed from the text's number.
+        return np.stack([corpus[int(t.split("#")[1])] for t in texts])
+
+    idx = DenseIndex(dim=dim, capacity_block=1024, tile=128)
+    idx.add(corpus)
+    server = QueryServer(embed, idx, max_batch=16, max_wait_ms=2.0,
+                         workers=2)
+    server.start()
+    try:
+        results = {}
+        lock = threading.Lock()
+
+        def client(lo, hi):
+            for i in range(lo, hi):
+                s, ids = server.search(f"q#{i}", k=5, timeout=60)
+                with lock:
+                    results[i] = (s, ids)
+
+        threads = [threading.Thread(target=client,
+                                    args=(j * 25, (j + 1) * 25))
+                   for j in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        server.stop()
+    assert len(results) == 200
+    for i, (s, ids) in results.items():
+        assert ids[0] == i, f"query {i} must retrieve its own row first"
+    stats = server.get_stats()
+    assert stats["queries"] == 200
+    # stop() must have terminated both workers
+    assert all(not t.is_alive() for t in server._threads)
+
+
+def test_server_restart_after_stop(served_index):
+    emb, idx, docs = served_index
+    server = QueryServer(emb, idx, max_batch=8, max_wait_ms=2)
+    server.start()
+    server.stop()
+    server.start()                         # must not inherit stale sentinel
+    try:
+        s, ids = server.search(docs[3], k=3, timeout=10)
+        assert ids[0] == 3
+    finally:
+        server.stop()
