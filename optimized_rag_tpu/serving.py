@@ -46,8 +46,12 @@ class QueryServer:
         # waits on the device result transfer (which releases the GIL —
         # a ~30 ms round trip through the tunneled runtime), the other
         # tokenizes and dispatches the next batch. Device execution
-        # still serializes on-chip; only host work and transfer overlap
-        # (same depth-2 pipeline bench.py measures at +57% throughput).
+        # still serializes on-chip; only host work and transfer overlap.
+        # Measured (14k docs, trained encoder, max_batch=64): above
+        # saturation (192 clients) workers=2 doubles throughput
+        # (~1,040 vs ~520 qps); below it (64 clients) the two workers
+        # split what would be one full batch and workers=1 wins
+        # (448 vs ~190 qps). Default 2 = the saturated serving regime.
         self.workers = workers
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._threads: List[threading.Thread] = []
@@ -88,6 +92,12 @@ class QueryServer:
 
     # ------------------------------------------------------------- internal
 
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, max(self.max_batch, n))
+
     def _collect(self) -> List[_Request]:
         """Block for the first request, then coalesce briefly."""
         first = self._q.get()
@@ -118,7 +128,15 @@ class QueryServer:
             t0 = time.perf_counter()
             try:
                 k_eff = max(r.k for r in batch)
-                q = self.embed_fn([r.query for r in batch])
+                # Pad the batch up to a pow2 bucket: every distinct batch
+                # size is a separate XLA compile of the search program,
+                # and under concurrent load coalesced sizes vary per
+                # batch — unbucketed serving recompiles almost every
+                # dispatch (measured: 4x throughput loss, p90 in seconds).
+                texts = [r.query for r in batch]
+                bucket = self._bucket(len(texts))
+                texts += [texts[-1]] * (bucket - len(texts))
+                q = self.embed_fn(texts)
                 res = self.index.search(np.atleast_2d(q), k=k_eff)
                 scores, ids = (res.scores, res.ids) \
                     if hasattr(res, "scores") else res
