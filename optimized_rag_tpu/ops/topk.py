@@ -301,7 +301,7 @@ def pallas_topk_verified_batch(queries: jax.Array, corpus: jax.Array,
                                k: int, size: jax.Array | int | None = None,
                                tile: int = 1024, interpret: bool = False,
                                precision=None, tile_k: int = 2,
-                               union_tiles: int = 64):
+                               union_tiles: int = 32):
     """Exact top-k with a BATCH-UNION rescan — the large-batch variant of
     ``pallas_topk_verified``.
 
@@ -319,6 +319,12 @@ def pallas_topk_verified_batch(queries: jax.Array, corpus: jax.Array,
     nonzero as "rerun exactly" (dispatch_topk does this automatically).
     The count rides inside the ids buffer so remote-host callers pay no
     extra fetch round trip.
+
+    union_tiles=32 is the measured sweet spot at 10M/tile=4096: 16-64 all
+    certify exact on random AND cluster-structured corpora (suspicious
+    tiles are rare and shared), and 32 is ~9% faster than 64; truly
+    pathological batches overflow the union and take the certified
+    exact-rerun path instead of returning wrong results.
 
     Returns (scores [B,k] f32, ids [B+1,k] int32) with
     ids[B, 0] = uncovered count.
