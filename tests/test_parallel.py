@@ -143,7 +143,14 @@ def test_sharded_index_search_host_work_is_o_k(rng):
     t0 = time.time()
     ids = idx.add(docs)          # old per-row argmin loop: minutes at 1M
     add_s = time.time() - t0
-    assert add_s < 60, f"bulk add took {add_s:.1f}s"
+    # Self-calibrating bound: one O(N) python dict build over the same
+    # row count is the unit of "host pass"; it slows down with CI load
+    # exactly like the code under test, so the bound doesn't flake.
+    t0 = time.time()
+    _ = {int(i): int(i) for i in range(n)}
+    host_pass_s = max(time.time() - t0, 0.05)
+    assert add_s < 120 * host_pass_s + 30, \
+        f"bulk add took {add_s:.1f}s (host pass {host_pass_s:.2f}s)"
     assert idx.size == n and len(ids) == n
     probe_ext = np.array([0, 123_456, 999_999])
     probe_rows = idx._rows_by_ext[probe_ext]
@@ -156,10 +163,11 @@ def test_sharded_index_search_host_work_is_o_k(rng):
         scores, got = idx.search(q, k=5)
         search_s = min(search_s, time.time() - t0)
     assert (got[:, 0] == probe_ext).all(), got[:, 0]
-    # Device brute force at 1M x 8 on CPU is ~10ms; a rebuilt 1M-entry
-    # python dict per query costs ~0.5s+. Generous bound catches the
-    # O(N) regression without flaking on slow CI.
-    assert search_s < 2.0, f"search took {search_s:.2f}s"
+    # Device brute force at 1M x 8 on CPU is ~10ms; the old O(N)
+    # regression rebuilt a 1M-entry dict per query (>= host_pass_s each).
+    # Calibrated bound catches the regression without flaking under load.
+    assert search_s < max(4 * host_pass_s, 1.0), \
+        f"search took {search_s:.2f}s (host pass {host_pass_s:.2f}s)"
 
 
 # ------------------------------------------------- round-2: sharded IVF
