@@ -1,10 +1,31 @@
 """Micro-batching query executor.
 
 Production serving layer the reference lacks entirely (it is a single-user
-REPL, main.py:14): concurrent callers enqueue queries; a dispatcher thread
-coalesces them into one batched embed + one batched fused top-k dispatch —
-the shape the TPU actually wants (per-call dispatch costs a host<->device
-round trip; batches amortize it).
+REPL, main.py:14): concurrent callers enqueue queries; a collector thread
+coalesces them into full batches; a small dispatch pool runs each batch as
+one batched embed + one batched fused top-k dispatch — the shape the TPU
+actually wants (per-call dispatch costs a host<->device round trip;
+batches amortize it).
+
+Architecture (measured on one chip, 14k docs, trained encoder, k=10,
+max_batch=64 — docs/RESULTS_r2.md):
+
+  * ONE collector so batches always coalesce fully. An earlier design ran
+    N independent dispatcher loops; below saturation they split what
+    would be one full batch between them and throughput HALVED
+    (448 -> ~190 qps at 64 clients). Batch efficiency beats overlap.
+  * The collector emits a batch only when it is FULL, or when the wait
+    deadline passes with NO dispatch in flight. While a dispatch runs,
+    coalescing extends — a plain fixed 5 ms window kept emitting partial
+    batches at the arrival rate (avg batch 20-32, throughput down ~40%).
+  * A dispatch pool (default 2) so that at saturation a second full
+    batch tokenizes and dispatches while the first waits on the device
+    round trip (which releases the GIL): 1,044 vs ~520 qps at 192
+    clients. The bounded hand-off queue gives collector backpressure.
+  * Batches are padded to pow2 buckets: every distinct batch size is a
+    separate XLA compile of the search program, and coalesced sizes vary
+    per batch — unbucketed serving recompiled almost every dispatch
+    (4x throughput loss, p90 in seconds).
 
 Usage:
     server = QueryServer(embed_fn, index, max_batch=64, max_wait_ms=5)
@@ -42,20 +63,13 @@ class QueryServer:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.max_k = max_k
-        # Two dispatcher threads keep two batches in flight: while one
-        # waits on the device result transfer (which releases the GIL —
-        # a ~30 ms round trip through the tunneled runtime), the other
-        # tokenizes and dispatches the next batch. Device execution
-        # still serializes on-chip; only host work and transfer overlap.
-        # Measured (14k docs, trained encoder, max_batch=64): above
-        # saturation (192 clients) workers=2 doubles throughput
-        # (~1,040 vs ~520 qps); below it (64 clients) the two workers
-        # split what would be one full batch and workers=1 wins
-        # (448 vs ~190 qps). Default 2 = the saturated serving regime.
         self.workers = workers
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._batches: "queue.Queue[Optional[List[_Request]]]" = \
+            queue.Queue(maxsize=max(workers, 1))
         self._threads: List[threading.Thread] = []
         self._running = False
+        self._inflight = 0
         self._stats_lock = threading.Lock()
         self.stats = {"batches": 0, "queries": 0, "max_batch_seen": 0,
                       "wait_ms_sum": 0.0}
@@ -64,19 +78,22 @@ class QueryServer:
 
     def start(self) -> None:
         assert not self._running
-        # Fresh queue: a previous stop() leaves its sentinel circulating
-        # (workers re-put it as they exit), which would kill restarted
-        # workers immediately.
+        # Fresh queues: a previous stop() leaves sentinels behind, which
+        # would kill restarted threads immediately.
         self._q = queue.Queue()
+        self._batches = queue.Queue(maxsize=max(self.workers, 1))
         self._running = True
-        self._threads = [threading.Thread(target=self._loop, daemon=True)
-                         for _ in range(self.workers)]
+        self._threads = [threading.Thread(target=self._collector_loop,
+                                          daemon=True)]
+        self._threads += [threading.Thread(target=self._dispatch_loop,
+                                           daemon=True)
+                          for _ in range(self.workers)]
         for t in self._threads:
             t.start()
 
     def stop(self) -> None:
         self._running = False
-        self._q.put(None)
+        self._q.put(None)             # collector exits, then fans out
         for t in self._threads:
             t.join(timeout=5)
 
@@ -99,40 +116,70 @@ class QueryServer:
         return min(b, max(self.max_batch, n))
 
     def _collect(self) -> List[_Request]:
-        """Block for the first request, then coalesce briefly."""
+        """Block for the first request, then coalesce.
+
+        Emits when the batch is full, or when the wait deadline passes
+        with no dispatch in flight. While dispatches are running there
+        is nothing idle to hand the batch to, so coalescing simply
+        continues — this is what keeps batches full at moderate load.
+        """
         first = self._q.get()
         if first is None:
-            self._q.put(None)  # propagate stop to sibling workers
             return []
         batch = [first]
         deadline = time.perf_counter() + self.max_wait_s
+        graced = False
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
-                break
+                with self._stats_lock:
+                    busy = self._inflight >= 1
+                if busy:
+                    # Extend while dispatches run; re-arm the grace so
+                    # the window after THIS busy period also applies.
+                    graced = False
+                elif graced:
+                    break
+                else:
+                    # One grace window right after a busy period: the
+                    # finished batch's clients resubmit within ~1 ms,
+                    # and scooping them here is what fills this batch
+                    # (without it the loop locks into half-size batches
+                    # alternating with the dispatch — measured avg 33/64).
+                    graced = True
+                deadline = time.perf_counter() + self.max_wait_s
+                continue
             try:
                 req = self._q.get(timeout=remaining)
             except queue.Empty:
-                break
+                continue                         # re-check busy/deadline
             if req is None:
-                self._q.put(None)  # re-signal stop for sibling workers
+                self._q.put(None)  # stop after this batch drains
                 break
             batch.append(req)
         return batch
 
-    def _loop(self) -> None:
+    def _collector_loop(self) -> None:
         while self._running:
             batch = self._collect()
             if not batch:
                 break
+            with self._stats_lock:
+                self._inflight += 1
+            # Blocks when `workers` batches are already in flight —
+            # backpressure keeps coalescing ahead of dispatch.
+            self._batches.put(batch)
+        for _ in range(self.workers):
+            self._batches.put(None)
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            batch = self._batches.get()
+            if batch is None:
+                break
             t0 = time.perf_counter()
             try:
                 k_eff = max(r.k for r in batch)
-                # Pad the batch up to a pow2 bucket: every distinct batch
-                # size is a separate XLA compile of the search program,
-                # and under concurrent load coalesced sizes vary per
-                # batch — unbucketed serving recompiles almost every
-                # dispatch (measured: 4x throughput loss, p90 in seconds).
                 texts = [r.query for r in batch]
                 bucket = self._bucket(len(texts))
                 texts += [texts[-1]] * (bucket - len(texts))
@@ -148,6 +195,7 @@ class QueryServer:
                     if not req.future.done():
                         req.future.set_exception(exc)
             with self._stats_lock:
+                self._inflight -= 1
                 self.stats["batches"] += 1
                 self.stats["queries"] += len(batch)
                 self.stats["max_batch_seen"] = max(
