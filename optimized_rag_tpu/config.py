@@ -384,6 +384,8 @@ class Settings:
                             f"{f.name.upper()}", shown))
         out.append(("root", "ORAG_DATA_DIR", s.data_dir))
         out.append(("root", "ORAG_AGENT_ID", s.agent_id))
+        out.append(("root", "ORAG_COMPILE_CACHE_DIR",
+                    "~/.cache/optimized_rag_tpu/xla"))
         return out
 
     def replace(self, **kw) -> "Settings":

@@ -8,8 +8,14 @@ cold-start latency is a product surface: pointing JAX's persistent
 compilation cache at the data dir makes every process after the first
 skip straight to execution.
 
+The cache lives at the USER level (~/.cache/optimized_rag_tpu/xla by
+default, override with ORAG_COMPILE_CACHE_DIR) rather than under the
+data dir: compiled executables depend on program shapes and the runtime,
+not on any corpus, and a per-data-dir cache made every fresh deployment
+recompile from scratch (~9 min first ingest).
+
 Call :func:`setup_compilation_cache` before the first jitted call; it is
-idempotent and fail-open (a read-only data dir just disables caching).
+idempotent and fail-open (an unwritable cache dir just disables caching).
 """
 
 from __future__ import annotations
@@ -23,11 +29,12 @@ _configured: set = set()
 
 
 def setup_compilation_cache(settings) -> bool:
-    """Enable JAX's on-disk compilation cache under
-    ``<data_dir>/xla_cache``. Returns True when active."""
+    """Enable JAX's on-disk compilation cache (user-level dir).
+    Returns True when active."""
     if not settings.flags.enable_compilation_cache:
         return False
-    cache_dir = os.path.join(settings.data_dir, "xla_cache")
+    cache_dir = os.environ.get("ORAG_COMPILE_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "optimized_rag_tpu", "xla")
     if cache_dir in _configured:
         return True
     try:

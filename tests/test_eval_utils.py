@@ -198,24 +198,23 @@ def test_env_example_covers_all_vars(tmp_path):
 
 
 # ------------------------------------------------------ compilation cache
-def test_compilation_cache_configured_under_data_dir(tmp_path):
+def test_compilation_cache_configured(tmp_path, monkeypatch):
     import jax
     from optimized_rag_tpu.config import Settings
     from optimized_rag_tpu.utils import compile_cache
+    monkeypatch.setenv("ORAG_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
     s = Settings()
-    s.data_dir = str(tmp_path)
     assert compile_cache.setup_compilation_cache(s)
-    assert jax.config.jax_compilation_cache_dir == str(
-        tmp_path / "xla_cache")
-    assert (tmp_path / "xla_cache").is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+    assert (tmp_path / "xla").is_dir()
     assert compile_cache.setup_compilation_cache(s)   # idempotent
 
 
-def test_compilation_cache_flag_off(tmp_path):
+def test_compilation_cache_flag_off(tmp_path, monkeypatch):
     from optimized_rag_tpu.config import Settings
     from optimized_rag_tpu.utils import compile_cache
+    monkeypatch.setenv("ORAG_COMPILE_CACHE_DIR", str(tmp_path / "xla2"))
     s = Settings()
-    s.data_dir = str(tmp_path)
     s.flags.enable_compilation_cache = False
     assert not compile_cache.setup_compilation_cache(s)
-    assert not (tmp_path / "xla_cache").exists()
+    assert not (tmp_path / "xla2").exists()
