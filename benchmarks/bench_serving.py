@@ -76,15 +76,24 @@ def main() -> None:
     queries, _, _ = sampler.sample(rng, args.clients *
                                    args.queries_per_client)
 
+    # Warm every pow2 bucket the dispatcher can hit — encode AND search:
+    # each distinct (bucketed) batch size is its own XLA program.
+    b = 1
+    while True:
+        idx.search(svc.encode([f"warm {i}" for i in range(b)]), k=10)
+        if b >= args.max_batch:
+            break
+        b *= 2
+
     server = QueryServer(svc.encode, idx, max_batch=args.max_batch,
                          max_wait_ms=args.max_wait_ms,
                          workers=args.workers)
     server.start()
-    # Warm every bucket the dispatcher can hit.
-    for warm_b in (1, args.max_batch):
-        futs = [server.submit(q) for q in queries[:warm_b]]
-        for f in futs:
-            f.result(timeout=300)
+    # Throwaway storm: exercises the collector/dispatch path end to end
+    # (thread scheduling, future plumbing) before the measured one.
+    futs = [server.submit(q) for q in queries[:4 * args.max_batch]]
+    for f in futs:
+        f.result(timeout=600)
 
     lat_ms = []
     lat_lock = threading.Lock()
