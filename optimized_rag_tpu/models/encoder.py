@@ -149,7 +149,7 @@ class EmbeddingService:
     compiled shapes; batches are padded to fixed sizes for the same reason.
     """
 
-    BATCH_BUCKETS = (8, 32, 128)
+    BATCH_BUCKETS = (8, 32, 64, 128)
 
     def __init__(self, cfg: TransformerConfig | None = None, params=None,
                  seed: int = 0, cache_size: int = 4096, max_len: int = 128,

@@ -43,7 +43,8 @@ class AgentHTTPServer:
         query = str(body.get("query", "")).strip()
         if not query:
             raise ValueError("missing 'query'")
-        k = min(int(body.get("k", 10)), self.query_server.max_k)
+        k = max(1, min(int(body.get("k", 10)),
+                       self.query_server.max_k))
         scores, ids = self.query_server.search(query, k=k)
         out = []
         for s, i in zip(scores.tolist(), ids.tolist()):

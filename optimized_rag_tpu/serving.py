@@ -83,11 +83,15 @@ class QueryServer:
         self._q = queue.Queue()
         self._batches = queue.Queue(maxsize=max(self.workers, 1))
         self._running = True
-        self._threads = [threading.Thread(target=self._collector_loop,
-                                          daemon=True)]
-        self._threads += [threading.Thread(target=self._dispatch_loop,
-                                           daemon=True)
-                          for _ in range(self.workers)]
+        # Threads capture THEIR queues as arguments: a worker that
+        # outlives a 5 s join timeout must keep draining its own epoch's
+        # queue, never the replacement created by a later start().
+        self._threads = [threading.Thread(
+            target=self._collector_loop, args=(self._q, self._batches),
+            daemon=True)]
+        self._threads += [threading.Thread(
+            target=self._dispatch_loop, args=(self._batches,),
+            daemon=True) for _ in range(self.workers)]
         for t in self._threads:
             t.start()
 
@@ -99,7 +103,8 @@ class QueryServer:
 
     def submit(self, query: str, k: int = 10) -> Future:
         assert self._running, "server not started"
-        assert k <= self.max_k, f"k={k} > max_k={self.max_k}"
+        if not 1 <= int(k) <= self.max_k:
+            raise ValueError(f"k={k} out of range [1, {self.max_k}]")
         req = _Request(query=query, k=k)
         self._q.put(req)
         return req.future
@@ -115,7 +120,7 @@ class QueryServer:
             b *= 2
         return min(b, max(self.max_batch, n))
 
-    def _collect(self) -> List[_Request]:
+    def _collect(self, q) -> List[_Request]:
         """Block for the first request, then coalesce.
 
         Emits when the batch is full, or when the wait deadline passes
@@ -123,7 +128,7 @@ class QueryServer:
         is nothing idle to hand the batch to, so coalescing simply
         continues — this is what keeps batches full at moderate load.
         """
-        first = self._q.get()
+        first = q.get()
         if first is None:
             return []
         batch = [first]
@@ -150,36 +155,48 @@ class QueryServer:
                 deadline = time.perf_counter() + self.max_wait_s
                 continue
             try:
-                req = self._q.get(timeout=remaining)
+                req = q.get(timeout=remaining)
             except queue.Empty:
                 continue                         # re-check busy/deadline
             if req is None:
-                self._q.put(None)  # stop after this batch drains
+                q.put(None)  # stop after this batch drains
                 break
             batch.append(req)
         return batch
 
-    def _collector_loop(self) -> None:
+    def _collector_loop(self, q, batches) -> None:
         while self._running:
-            batch = self._collect()
+            batch = self._collect(q)
             if not batch:
                 break
             with self._stats_lock:
                 self._inflight += 1
             # Blocks when `workers` batches are already in flight —
             # backpressure keeps coalescing ahead of dispatch.
-            self._batches.put(batch)
-        for _ in range(self.workers):
-            self._batches.put(None)
-
-    def _dispatch_loop(self) -> None:
+            batches.put(batch)
+        # Drain: anything still queued after stop() must fail fast, not
+        # leave callers hanging in future.result(timeout).
         while True:
-            batch = self._batches.get()
+            try:
+                req = q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.future.cancel()
+        for _ in range(self.workers):
+            batches.put(None)
+
+    def _dispatch_loop(self, batches) -> None:
+        while True:
+            batch = batches.get()
             if batch is None:
                 break
             t0 = time.perf_counter()
             try:
-                k_eff = max(r.k for r in batch)
+                # k is bucketed like the batch size: mixed-k traffic would
+                # otherwise compile a fresh search program per distinct k.
+                k_eff = min(self._bucket(max(r.k for r in batch)),
+                            self.max_k)
                 texts = [r.query for r in batch]
                 bucket = self._bucket(len(texts))
                 texts += [texts[-1]] * (bucket - len(texts))
@@ -188,8 +205,11 @@ class QueryServer:
                 scores, ids = (res.scores, res.ids) \
                     if hasattr(res, "scores") else res
                 for row, req in enumerate(batch):
-                    req.future.set_result(
-                        (scores[row, : req.k], ids[row, : req.k]))
+                    # A caller may have cancelled (e.g. its own timeout);
+                    # that must not poison the rest of the batch.
+                    if not req.future.cancelled():
+                        req.future.set_result(
+                            (scores[row, : req.k], ids[row, : req.k]))
             except Exception as exc:
                 for req in batch:
                     if not req.future.done():

@@ -180,3 +180,51 @@ def test_server_restart_after_stop(served_index):
         assert ids[0] == 3
     finally:
         server.stop()
+
+
+def test_server_cancelled_future_does_not_poison_batch(served_index):
+    emb, idx, docs = served_index
+    server = QueryServer(emb, idx, max_batch=8, max_wait_ms=50)
+    server.start()
+    try:
+        f_cancel = server.submit(docs[0], k=3)
+        f_live = server.submit(docs[1], k=3)
+        f_cancel.cancel()
+        s, ids = f_live.result(timeout=10)
+        assert ids[0] == 1
+    finally:
+        server.stop()
+
+
+def test_server_k_validation():
+    server = QueryServer(lambda t: np.zeros((len(t), 4)), None, max_k=10)
+    server.start()
+    try:
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            server.submit("q", k=0)
+        with _pytest.raises(ValueError):
+            server.submit("q", k=11)
+    finally:
+        server.stop()
+
+
+def test_server_stop_cancels_undispatched_requests(served_index):
+    """Requests still queued when stop() runs must fail fast (cancelled),
+    not leave callers hanging until their result() timeout."""
+    import time as _time
+    emb, idx, docs = served_index
+
+    class SlowIndex:
+        def search(self, q, k):
+            _time.sleep(0.3)
+            return idx.search(q, k)
+
+    server = QueryServer(emb, SlowIndex(), max_batch=2, max_wait_ms=1,
+                         workers=1)
+    server.start()
+    futs = [server.submit(docs[i]) for i in range(30)]
+    _time.sleep(0.05)          # let the first batches enter dispatch
+    server.stop()
+    states = [("done" if f.done() else "pending") for f in futs]
+    assert "pending" not in states, states
