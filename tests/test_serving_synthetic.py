@@ -228,3 +228,22 @@ def test_server_stop_cancels_undispatched_requests(served_index):
     server.stop()
     states = [("done" if f.done() else "pending") for f in futs]
     assert "pending" not in states, states
+
+
+def test_server_idle_single_request_emits_promptly(served_index):
+    """The post-busy grace must not delay the idle case: one request with
+    an empty pool emits after ~max_wait, not after multiples of it."""
+    emb, idx, docs = served_index
+    server = QueryServer(emb, idx, max_batch=64, max_wait_ms=5, workers=2)
+    server.start()
+    try:
+        server.search(docs[0], k=3, timeout=10)      # warm
+        t0 = time.perf_counter()
+        server.search(docs[1], k=3, timeout=10)
+        dt = time.perf_counter() - t0
+        # 5ms window + one grace window + dispatch; 1s bound is generous
+        # for CI but catches an unbounded-extension regression.
+        assert dt < 1.0, f"idle single-request latency {dt:.2f}s"
+        assert server.get_stats()["max_batch_seen"] == 1
+    finally:
+        server.stop()
