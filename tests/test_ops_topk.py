@@ -211,6 +211,131 @@ def test_batch_union_with_padding(rng):
         _check(s, packed[:-1], oracle_s, oracle_i)
 
 
+# ------------------------------------------ round-3: certified packed kernel
+
+def test_certified_random(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_certified
+    q, c = _make(rng, b=8, n=128 * 40, d=64)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, packed = pallas_topk_certified(jnp.asarray(q), jnp.asarray(c), 10,
+                                      tile=128, interpret=True)
+    packed = np.asarray(packed)
+    assert packed[-1, 0] == 0
+    _check(s, packed[:-1], oracle_s, oracle_i)
+
+
+def test_certified_clustered(rng):
+    """Adversarial case: a query's full top-k inside ONE tile (contiguous
+    same-document chunks). The unit rescue + union rescan must recover
+    every winner."""
+    from optimized_rag_tpu.ops.topk import pallas_topk_certified
+    q, c, n = _clustered_case(rng, b=8)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, packed = pallas_topk_certified(jnp.asarray(q), jnp.asarray(c), 10,
+                                      tile=128, union_tiles=16,
+                                      interpret=True)
+    packed = np.asarray(packed)
+    assert packed[-1, 0] == 0
+    _check(s, packed[:-1], oracle_s, oracle_i)
+    assert set(packed[0]) == set(oracle_i[0])
+
+
+def test_certified_single_unit_cluster(rng):
+    """All k winners inside ONE G-row unit of one tile: only the c1 unit
+    rescue can recover rows 2..k (they hide behind the unit winner)."""
+    from optimized_rag_tpu.ops.topk import pallas_topk_certified
+    tile, groups, d = 128, 8, 32
+    small = tile // groups
+    n = tile * 60
+    q = np.asarray(normalize(jnp.asarray(
+        rng.standard_normal((4, d), dtype=np.float32))))
+    c = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    for bi in range(4):
+        t0 = (bi * 5 + 2) * tile
+        unit = 3  # rows t0+3, t0+3+small, ... share one strided unit
+        rows = [t0 + unit + g * small for g in range(groups)]
+        for rank, r in enumerate(rows):
+            c[r] = q[bi] * (1.0 - 0.001 * rank) \
+                + 0.001 * rng.standard_normal(d)
+    c = np.asarray(normalize(jnp.asarray(c)))
+    oracle_s, oracle_i = _oracle_topk(q, c, groups)
+    s, packed = pallas_topk_certified(jnp.asarray(q), jnp.asarray(c),
+                                      groups, tile=tile, groups=groups,
+                                      interpret=True)
+    packed = np.asarray(packed)
+    assert packed[-1, 0] == 0
+    _check(s, packed[:-1], oracle_s, oracle_i)
+
+
+def test_certified_padding(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_certified
+    q, c = _make(rng, b=8, n=128 * 40, d=64)
+    size = 128 * 40 - 77
+    oracle_s, oracle_i = _oracle_topk(q, c, 10, size=size)
+    s, packed = pallas_topk_certified(jnp.asarray(q), jnp.asarray(c), 10,
+                                      size=size, tile=128, interpret=True)
+    packed = np.asarray(packed)
+    assert packed[-1, 0] == 0
+    _check(s, packed[:-1], oracle_s, oracle_i)
+    assert packed[:-1].max() < size
+
+
+def test_certified_detects_union_overflow(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_certified
+    q, c, n = _clustered_case(rng, b=8)
+    _, packed = pallas_topk_certified(jnp.asarray(q), jnp.asarray(c), 10,
+                                      tile=128, union_tiles=2,
+                                      interpret=True)
+    # 8 distinct hot tiles vs 2 union slots: either the rescue pass alone
+    # already covers every winner (certificates hold) or uncovered > 0.
+    packed = np.asarray(packed)
+    if packed[-1, 0] == 0:
+        oracle_s, oracle_i = _oracle_topk(q, c, 10)
+        _check(_, packed[:-1], oracle_s, oracle_i)
+
+
+def test_certified_negative_scores(rng):
+    """Queries anti-correlated with the corpus: all scores negative; the
+    +2.0 shift must keep packed ordering correct."""
+    from optimized_rag_tpu.ops.topk import pallas_topk_certified
+    q = np.asarray(normalize(jnp.asarray(
+        rng.standard_normal((4, 32), dtype=np.float32))))
+    base = rng.standard_normal((128 * 20, 32)).astype(np.float32)
+    # push every corpus row to have negative dot with every query
+    for bi in range(4):
+        base -= 0.5 * np.abs(base @ q[bi])[:, None] * q[bi]
+    c = np.asarray(normalize(jnp.asarray(base)))
+    oracle_s, oracle_i = _oracle_topk(q, c, 5)
+    s, packed = pallas_topk_certified(jnp.asarray(q), jnp.asarray(c), 5,
+                                      tile=128, interpret=True)
+    packed = np.asarray(packed)
+    assert packed[-1, 0] == 0
+    _check(s, packed[:-1], oracle_s, oracle_i)
+
+
+def test_dispatch_routes_certified(rng):
+    """Default dispatch stays exact through the certified kernel on the
+    clustered adversarial corpus."""
+    q, c, n = _clustered_case(rng, b=16, tiles=700)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, i = dispatch_topk(jnp.asarray(q), jnp.asarray(c), 10,
+                         prefer_pallas=True, tile=128)
+    _check(s, np.asarray(i), oracle_s, oracle_i)
+
+
+def test_dispatch_defer_certificate(rng):
+    from optimized_rag_tpu.ops.topk import certificate_uncovered
+    q, c, n = _clustered_case(rng, b=16, tiles=700)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, ids = dispatch_topk(jnp.asarray(q), jnp.asarray(c), 10,
+                           prefer_pallas=True, tile=128,
+                           defer_certificate=True)
+    ids = np.asarray(ids)
+    assert ids.shape[0] == len(q) + 1
+    if certificate_uncovered(ids) == 0:
+        _check(s, ids[:-1], oracle_s, oracle_i)
+
+
 def test_dispatch_batch_union_fallback_stays_exact(rng):
     """dispatch_topk must stay exact even when the union overflows: the
     clustered case with b>=16 distinct hot tiles and a tiny union forces
