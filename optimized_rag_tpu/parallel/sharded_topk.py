@@ -174,6 +174,42 @@ class ShardedDenseIndex:
         self._row_to_ext[rows] = ext
         return ext
 
+    def bulk_build(self, embeddings, batch: int = 1 << 20) -> np.ndarray:
+        """One-shot bulk load into an EMPTY index; returns external ids.
+
+        ``add`` is an O(capacity) functional update per call — fine for
+        incremental ingest, quadratic for whole-corpus construction. This
+        lays the balanced shard layout out host-side in slabs (normalize +
+        dtype cast per slab, so peak host memory is one slab above the
+        final buffer) and ships it with ONE device_put. Capacity-scale
+        builds (multi-GB, benchmarks/bench_sharded.py capacity mode) go
+        from minutes of repeated buffer copies to one transfer.
+        """
+        if self.size:
+            raise ValueError("bulk_build requires an empty index")
+        n = int(embeddings.shape[0])
+        counts = self._water_fill(n)  # empty index -> balanced split
+        while counts.max() > self.shard_capacity:
+            self._grow()
+        cap = self.shard_capacity
+        host = np.zeros((self.ndev * cap, self.dim),
+                        np.dtype(self.dtype))
+        rows = np.concatenate([
+            s * cap + np.arange(counts[s], dtype=np.int64)
+            for s in range(self.ndev)])
+        for lo in range(0, n, batch):
+            sl = np.asarray(embeddings[lo:lo + batch], np.float32)
+            sl /= np.maximum(np.linalg.norm(sl, axis=1, keepdims=True),
+                             1e-12)
+            host[rows[lo:lo + batch]] = sl.astype(host.dtype)
+        self._emb = jax.device_put(
+            host, NamedSharding(self.mesh, P(self.axis, None)))
+        self._sizes = counts.astype(np.int32)
+        ext = np.arange(n, dtype=np.int64)
+        self._rows_by_ext = rows
+        self._row_to_ext[rows] = ext
+        return ext
+
     def search(self, queries, k: int, impl: str = "auto"):
         q = normalize(jnp.atleast_2d(jnp.asarray(queries))).astype(jnp.float32)
         if self.size == 0 or q.shape[0] == 0:
