@@ -268,6 +268,19 @@ class MeshConfig:
 # ---------------------------------------------------------------------------
 
 @dataclass
+class ServingConfig:
+    """Concurrent serving (serving.py / server.py)."""
+    # Run chat turns concurrently in the HTTP server (no global chat
+    # lock) and coalesce per-turn embedding dispatches across turns
+    # through a shared EmbedBatcher. Default off: single-user CLI parity
+    # with the reference, zero batching machinery in the way.
+    concurrent_chat: bool = False
+    max_concurrent_turns: int = 8
+    # Upper bound on texts per coalesced embedding dispatch.
+    embed_batch_max: int = 256
+
+
+@dataclass
 class Flags:
     enable_kg: bool = True
     enable_cot: bool = True
@@ -317,6 +330,7 @@ class Settings:
     memory: MemoryConfig = field(default_factory=MemoryConfig)
     adaptive: AdaptiveConfig = field(default_factory=AdaptiveConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
     flags: Flags = field(default_factory=Flags)
     data_dir: str = field(default_factory=lambda: _env("ORAG_DATA_DIR", ".orag"))
     agent_id: str = "default"

@@ -31,7 +31,16 @@ class AgentHTTPServer:
         self.agent = agent
         self.host = host
         self.port = port
-        self._chat_lock = threading.Lock()
+        # Single-user parity default: one chat turn at a time. With
+        # settings.serving.concurrent_chat the lock widens to a bounded
+        # semaphore and per-turn embedding dispatches coalesce through
+        # the agent's EmbedBatcher (serving.py).
+        sv = getattr(agent.settings, "serving", None)
+        if sv is not None and sv.concurrent_chat:
+            self._chat_lock = threading.Semaphore(
+                max(1, sv.max_concurrent_turns))
+        else:
+            self._chat_lock = threading.Lock()
         self.query_server = QueryServer(agent.embed_fn, agent.dense,
                                         max_batch=max_batch,
                                         max_wait_ms=max_wait_ms)

@@ -247,3 +247,89 @@ def test_server_idle_single_request_emits_promptly(served_index):
         assert server.get_stats()["max_batch_seen"] == 1
     finally:
         server.stop()
+
+
+# ------------------------------------------------- round-3: EmbedBatcher
+
+def test_embed_batcher_correctness_and_coalescing():
+    """Concurrent encode() calls must return exactly their own rows, and
+    requests arriving during a dispatch must coalesce into one."""
+    from optimized_rag_tpu.serving import EmbedBatcher
+
+    calls = []
+    gate = threading.Event()
+
+    def slow_encode(texts):
+        calls.append(len(texts))
+        if len(calls) == 1:
+            gate.wait(timeout=5)     # hold the first dispatch open
+        # deterministic embedding: hash of text in the first column
+        out = np.zeros((len(texts), 4), np.float32)
+        for i, t in enumerate(texts):
+            out[i, 0] = float(int(t.split("-")[1]))
+        return out
+
+    b = EmbedBatcher(slow_encode).start()
+    results = {}
+
+    def worker(i):
+        results[i] = b.encode([f"t-{i * 10}", f"t-{i * 10 + 1}"])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    threads[0].start()
+    time.sleep(0.15)                  # t0 in flight, held by the gate
+    for t in threads[1:]:
+        t.start()
+    time.sleep(0.15)                  # the rest queue up behind it
+    gate.set()
+    for t in threads:
+        t.join(timeout=5)
+    b.stop()
+    for i in range(6):
+        assert results[i].shape == (2, 4)
+        assert results[i][0, 0] == i * 10 and results[i][1, 0] == i * 10 + 1
+    # first dispatch = 1 request; everything else coalesced afterwards
+    assert len(calls) < 6
+    assert b.stats["dispatches"] == len(calls)
+    assert b.stats["max_coalesced"] >= 2
+
+
+def test_embed_batcher_passthrough_when_stopped():
+    from optimized_rag_tpu.serving import EmbedBatcher
+    b = EmbedBatcher(lambda ts: np.ones((len(ts), 3), np.float32))
+    out = b.encode(["a", "b"])       # not started: direct call
+    assert out.shape == (2, 3)
+
+
+def test_embed_batcher_error_propagates():
+    from optimized_rag_tpu.serving import EmbedBatcher
+
+    def bad_encode(texts):
+        raise RuntimeError("boom")
+
+    b = EmbedBatcher(bad_encode).start()
+    with pytest.raises(RuntimeError):
+        b.encode(["x"])
+    b.stop()
+
+
+def test_concurrent_chat_setting_wires_batcher():
+    """concurrent_chat routes agent.embed_fn through a shared batcher."""
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.config import Settings
+    import tempfile
+
+    s = Settings()
+    s.data_dir = tempfile.mkdtemp(prefix="cc_test_")
+    s.serving.concurrent_chat = True
+    s.flags.enable_kg = False
+    agent = RAGAgent(s)
+    try:
+        assert agent.embed_batcher is not None
+        agent.ingestor.ingest_text(
+            "TPU matrix units multiply in systolic fashion.", "d1.txt")
+        resp = agent.chat("How do TPU matrix units multiply?")
+        assert isinstance(resp.answer, str)
+        assert agent.embed_batcher.stats["dispatches"] > 0
+    finally:
+        agent.embed_batcher.stop()
