@@ -1,0 +1,142 @@
+"""Stdlib PDF extraction (engine/pdf.py) on hermetically generated PDFs.
+
+The reference's fixture corpus is PDF-only (sample/docs/rag/*.pdf,
+ingested via PyPDF2 — rag/document_processor.py:15); this environment has
+no PDF library, so the fallback extractor must handle the common
+Flate-content-stream case. Fixtures are built in-test so the suite stays
+hermetic.
+"""
+
+import zlib
+
+import pytest
+
+from optimized_rag_tpu.engine.documents import DocumentProcessor
+from optimized_rag_tpu.engine.pdf import extract_pdf_text
+
+
+def _minimal_pdf(content: bytes, extra_objects: bytes = b"",
+                 compress: bool = True) -> bytes:
+    """One-page PDF with the given content stream (optionally Flate)."""
+    if compress:
+        data = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    else:
+        data, filt = content, b""
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj",
+        b"4 0 obj << " + filt + b"/Length " + str(len(data)).encode()
+        + b" >> stream\n" + data + b"\nendstream endobj",
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> "
+        b"endobj",
+    ]
+    body = b"%PDF-1.4\n" + b"\n".join(objs) + extra_objects \
+        + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+    return body
+
+
+def test_flate_literal_string(tmp_path):
+    pdf = _minimal_pdf(
+        b"BT /F1 12 Tf 72 700 Td (Hello RAG world) Tj ET")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(pdf)
+    assert "Hello RAG world" in extract_pdf_text(str(p))
+
+
+def test_uncompressed_tj_array_kerning(tmp_path):
+    content = (b"BT /F1 12 Tf 72 700 Td "
+               b"[(Hyb)-7(rid)-280(retrieval)] TJ ET")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(_minimal_pdf(content, compress=False))
+    text = extract_pdf_text(str(p))
+    # small kern joins, large kern becomes a word gap
+    assert "Hybrid retrieval" in text
+
+
+def test_escapes_and_multiline(tmp_path):
+    content = (rb"BT /F1 12 Tf (line \(one\)) Tj 0 -14 Td "
+               rb"(line two \\ done) Tj ET")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(_minimal_pdf(content))
+    text = extract_pdf_text(str(p))
+    assert "line (one)" in text
+    assert "line two \\ done" in text
+    assert text.index("one") < text.index("two")
+
+
+def test_tounicode_cmap_hex_strings(tmp_path):
+    """Subset fonts address glyphs by 2-byte CIDs; only the /ToUnicode
+    CMap makes them readable — the LaTeX-PDF case."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"3 beginbfchar\n"
+            b"<0001> <0054>\n<0002> <0050>\n<0003> <0055>\n"
+            b"endbfchar\nend")
+    cdata = zlib.compress(cmap)
+    extra = (b"\n6 0 obj << /Filter /FlateDecode /Length "
+             + str(len(cdata)).encode() + b" >> stream\n" + cdata
+             + b"\nendstream endobj"
+             b"\n7 0 obj << /Type /Font /Subtype /Type0 "
+             b"/ToUnicode 6 0 R >> endobj")
+    content = b"BT /F2 10 Tf <000100020003> Tj ET"
+    pdf = _minimal_pdf(content, extra_objects=extra)
+    # register F2 -> 7 0 R in a font resource dict
+    pdf = pdf.replace(b"/Font << /F1 5 0 R >>",
+                      b"/Font << /F1 5 0 R /F2 7 0 R >>")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(pdf)
+    assert "TPU" in extract_pdf_text(str(p))
+
+
+def test_bfrange_mapping(tmp_path):
+    cmap = (b"1 beginbfrange\n<0010> <0012> <0041>\nendbfrange\n")
+    cdata = zlib.compress(cmap)
+    extra = (b"\n6 0 obj << /Filter /FlateDecode /Length "
+             + str(len(cdata)).encode() + b" >> stream\n" + cdata
+             + b"\nendstream endobj"
+             b"\n7 0 obj << /Type /Font /ToUnicode 6 0 R >> endobj")
+    content = b"BT /F2 10 Tf <001000110012> Tj ET"
+    pdf = _minimal_pdf(content, extra_objects=extra).replace(
+        b"/Font << /F1 5 0 R >>", b"/Font << /F2 7 0 R >>")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(pdf)
+    assert "ABC" in extract_pdf_text(str(p))
+
+
+def test_binary_streams_skipped(tmp_path):
+    """Image data containing stray 'BT'/'Tj' bytes must not pollute the
+    text (observed on real PDFs)."""
+    noise = bytes(range(256)) * 8 + b"BT binary Tj garbage"
+    ndata = zlib.compress(noise)
+    extra = (b"\n8 0 obj << /Filter /FlateDecode /Subtype /Image /Length "
+             + str(len(ndata)).encode() + b" >> stream\n" + ndata
+             + b"\nendstream endobj")
+    pdf = _minimal_pdf(b"BT /F1 12 Tf (clean text) Tj ET",
+                       extra_objects=extra)
+    p = tmp_path / "t.pdf"
+    p.write_bytes(pdf)
+    text = extract_pdf_text(str(p))
+    assert "clean text" in text
+    assert "garbage" not in text
+
+
+def test_no_text_raises(tmp_path):
+    p = tmp_path / "t.pdf"
+    p.write_bytes(b"%PDF-1.4\nnothing here\n%%EOF")
+    with pytest.raises(ValueError):
+        extract_pdf_text(str(p))
+
+
+def test_document_processor_pdf_fallback(tmp_path):
+    """End-to-end: DocumentProcessor ingests a PDF with zero PDF deps."""
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(_minimal_pdf(
+        b"BT /F1 12 Tf (Retrieval augmented generation on TPU hardware "
+        b"uses fused kernels.) Tj ET"))
+    out = DocumentProcessor().process_file(str(p))
+    joined = " ".join(c["text"] if isinstance(c, dict) else str(c)
+                      for c in out.get("chunks", [])) + str(out)
+    assert "fused kernels" in joined or "fused kernels" in str(out)
