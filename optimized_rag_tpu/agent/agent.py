@@ -76,7 +76,7 @@ class RAGAgent:
         # checkpoint's own config wins so architecture always matches the
         # trained weights.
         from optimized_rag_tpu.models.pretrain import (
-            find_checkpoint_dir, load_pretrained)
+            find_checkpoint_dir, load_pretrained, load_tokenizer)
         ckpt_dir = find_checkpoint_dir(s.data_dir)
         if embed_service is None:
             from optimized_rag_tpu.models.encoder import (
@@ -88,7 +88,9 @@ class RAGAgent:
                 embed_service = EmbeddingService(
                     cfg, params=params,
                     max_len=min(cfg.max_seq_len, 128),
-                    cache_size=s.encoder.cache_size)
+                    cache_size=s.encoder.cache_size,
+                    tokenizer=load_tokenizer(ckpt_dir, cfg.vocab_size,
+                                             min(cfg.max_seq_len, 128)))
             else:
                 embed_service = EmbeddingService(
                     TransformerConfig(
@@ -101,6 +103,16 @@ class RAGAgent:
                     max_len=128, cache_size=s.encoder.cache_size)
         self.embedder = embed_service
         self.embed_fn = embed_service.encode
+        self.embed_batcher = None
+        if s.serving.concurrent_chat:
+            # Coalesce embedding dispatches across concurrent chat turns
+            # (claim verification is the dominant per-turn dispatch):
+            # every component below receives the batched entry point.
+            from optimized_rag_tpu.serving import EmbedBatcher
+            self.embed_batcher = EmbedBatcher(
+                embed_service.encode,
+                max_texts=s.serving.embed_batch_max).start()
+            self.embed_fn = self.embed_batcher.encode
         # The reference always loads its cross-encoder rerank stage
         # (rag/reranker.py:313); build ours by default, flag-gated.
         if cross_encoder is None and s.rerank.enable_cross_encoder:
@@ -112,7 +124,9 @@ class RAGAgent:
                 ccfg, cparams = loaded
                 cross_encoder = CrossEncoderService(
                     ccfg, params=cparams,
-                    max_len=min(ccfg.max_seq_len, 256))
+                    max_len=min(ccfg.max_seq_len, 256),
+                    tokenizer=load_tokenizer(ckpt_dir, ccfg.vocab_size,
+                                             min(ccfg.max_seq_len, 256)))
             else:
                 cross_encoder = CrossEncoderService(
                     _TC(vocab_size=s.encoder.vocab_size,
@@ -514,9 +528,12 @@ class RAGAgent:
                         "warmup evidence text")
             self.consistency.check_consistency(docs)
             if self.fused_eval is not None:
-                # Compile the fused rerank/eval dispatch for the common
-                # candidate-count buckets (8, 16) in both routing modes.
-                for n_docs in (5, 10):
+                # Compile the fused rerank/eval dispatch for every
+                # candidate-count bucket (8, 16, 32) in both routing
+                # modes, plus the skip-policy ('none') shape — a cold
+                # XLA compile mid-request costs tens of seconds through
+                # the tunneled runtime (ADVICE r2).
+                for n_docs in (5, 10, 20):
                     wdocs = [RetrievedDoc(doc_id=-1, score=0.5,
                                           text=f"warmup doc {i}")
                              for i in range(n_docs)]
@@ -524,6 +541,15 @@ class RAGAgent:
                                Intent.CONVERSATIONAL):
                         self.fused_eval.run("warmup query", list(wdocs),
                                             it, k_mmr=5, lam=0.7)
+                # High score variance + non-precision intent routes to
+                # the 'none' (skip-rerank, eval-only) program.
+                vdocs = [RetrievedDoc(doc_id=-1,
+                                      score=0.95 if i % 2 == 0 else 0.05,
+                                      text=f"warmup doc {i}")
+                         for i in range(8)]
+                self.fused_eval.run("warmup query", vdocs,
+                                    Intent.CONVERSATIONAL, k_mmr=5,
+                                    lam=0.7)
         return time.time() - t0
 
     # ------------------------------------------------------------------ chat
@@ -552,7 +578,8 @@ class RAGAgent:
             answer=state.response,
             citations=state.citations,
             sources=[{"doc_id": d.doc_id, "source": d.source.value,
-                      "score": d.score, "tier": d.tier}
+                      "score": d.score, "tier": d.tier,
+                      "text": (d.text or "")[:1600]}
                      for d in state.rag_context],
             confidence=confidence,
             factuality_score=state.factuality_score,

@@ -25,6 +25,29 @@ _PT_HINTS = re.compile(
     r"fa[cç]a|sobre|entre)\b", re.IGNORECASE)
 
 
+_STOPWORDS = frozenset(
+    "the a an is are was were of to and in on by for with that this its as "
+    "at or it what which who whom whose when where why how do does did can "
+    "could would should will shall may might must have has had be been "
+    "being not no i you he she we they me him her us them my your".split())
+
+
+def _zero_lexical_coverage(query: str, docs, intent) -> bool:
+    """True when no content word of a factual query appears in any doc."""
+    iv = getattr(intent, "value", intent) or ""
+    if iv in ("conversational", "clarification", "task_execution"):
+        return False
+    terms = {w for w in re.findall(r"[a-z0-9]+", query.lower())
+             if w not in _STOPWORDS and len(w) > 2}
+    if not terms:
+        return False
+    for d in docs:
+        text = (d.text or "").lower()
+        if any(t in text for t in terms):
+            return False
+    return True
+
+
 def _format_context(docs: List[RetrievedDoc]) -> str:
     """Numbered context with [N] ids (reference rag/nodes/helpers.py:20)."""
     return "\n".join(f"[{i + 1}] {d.text}" for i, d in enumerate(docs))
@@ -181,6 +204,18 @@ def rerank_and_eval(state: AgentState, agent) -> None:
     # (reference :201-211).
     thr = agent.settings.rerank.cross_encoder_threshold
     if all((d.rerank_score or d.score) < thr for d in docs):
+        state.rag_context = []
+        state.relevance_score = 0.0
+        return
+
+    # Lexical zero-coverage exit: when NOT ONE content word of a factual
+    # query appears anywhere in the retrieved docs, the retrieval is
+    # off-topic regardless of its cosine scores (an anisotropic encoder
+    # scores unrelated text 0.5-0.7, so absolute-threshold gates cannot
+    # catch this). Deterministic stand-in for the reference's LLM
+    # retrieval-relevance judgment (rag/self_rag.py:49) feeding the same
+    # early exit; measured on the QA sheet's unanswerable probes.
+    if _zero_lexical_coverage(query, docs, state.query_intent):
         state.rag_context = []
         state.relevance_score = 0.0
         return
