@@ -69,7 +69,13 @@ class ConsistencyChecker:
             sim = np.asarray(pairwise_cosine(jnp.asarray(emb)))
         else:
             sim = np.asarray(sim)
-            assert sim.shape == (len(docs), len(docs)), sim.shape
+            if sim.shape != (len(docs), len(docs)):
+                # Hard error (not assert: must survive python -O) — a
+                # mis-aligned matrix would yield silently wrong
+                # contradiction indices (ADVICE r2).
+                raise ValueError(
+                    f"sim matrix shape {sim.shape} != ({len(docs)},"
+                    f" {len(docs)}); pass the matrix for exactly these docs")
         # Only pairs with high topical similarity can "contradict".
         cand = np.argwhere(np.triu(sim, k=1) >= self.sim_threshold)
         contradictions = []

@@ -55,6 +55,7 @@ class HybridRetriever:
         self._created_dev = None   # [capacity] days-since-epoch, device
         self._created_n = 0
         self._created_cap = 0
+        self._created_epoch = 0    # DenseIndex.epoch the cache was built at
         # Optional ANN candidate source (IVFIndex / ShardedIVFIndex /
         # ShardedDenseIndex) installed by the index policy at scale
         # (index/policy.py). It covers rows [0, ann_size); the exact
@@ -119,6 +120,14 @@ class HybridRetriever:
         """Device array of days-since-epoch per dense row, synced
         incrementally (host fetches only rows added since last call)."""
         cap, n = self.dense.capacity, self.dense.size
+        # delete()/compact() remap row ids: the incremental cache would
+        # attach previous docs' timestamps to the wrong rows. Rebuild from
+        # scratch when the index epoch moved (ADVICE r2 medium).
+        epoch = getattr(self.dense, "epoch", 0)
+        if epoch != self._created_epoch:
+            self._created_dev = None
+            self._created_n = 0
+            self._created_epoch = epoch
         if self._created_dev is None or self._created_cap != cap:
             old = self._created_dev
             self._created_dev = jnp.zeros((cap,), jnp.float32)
