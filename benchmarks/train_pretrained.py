@@ -61,7 +61,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=0,
                     help="0 = profile default")
-    ap.add_argument("--profile", choices=("small", "large"),
+    ap.add_argument("--profile", choices=("small", "large", "xl"),
                     default="small")
     ap.add_argument("--out", default=os.path.join(REPO, "checkpoints",
                                                   "pretrained"))
@@ -80,7 +80,28 @@ def main() -> None:
     print(f"backend={jax.default_backend()}", flush=True)
     mesh = make_mesh(data=len(jax.devices()), model=1)
     real = real_chunks()
-    if args.profile == "large":
+    if args.profile == "xl":
+        # Round-3 (VERDICT r2 #5): 5-8x corpus — docstring prose +
+        # function source + markdown (models/corpus.harvest_all) — and a
+        # learned top-word vocabulary replacing FNV-mod hashing for the
+        # frequent vocabulary. Same 6L/384 architecture (r2 measured the
+        # CORPUS, not capacity or steps, as the binding constraint).
+        from optimized_rag_tpu.models.corpus import harvest_all
+        big = harvest_all(max_chunks=100000, extra_dirs=[REPO])
+        # hold out PROSE chunks (comparable to the r2 0.565 number):
+        # harvest_all shuffles, so filter non-code-looking chunks.
+        prose = [t for t in big if "def " not in t and "self." not in t]
+        held_out, held_set = prose[:300], set(prose[:300])
+        train_texts = [t for t in big if t not in held_set]
+        real = real + train_texts
+        enc_cfg = TransformerConfig(vocab_size=32768, hidden_dim=384,
+                                    num_layers=6, num_heads=12,
+                                    mlp_dim=1536, max_seq_len=128,
+                                    out_dim=384)
+        dec_cfg = DecoderConfig(hidden_dim=256, num_layers=4, num_heads=4,
+                                mlp_dim=1024, max_seq_len=1024)
+        steps = args.steps or 2500
+    elif args.profile == "large":
         # MiniLM-class encoder (6L/384 — the shapes tile the MXU cleanly:
         # 384=3*128, 1536=12*128) on the docstring-harvest corpus.
         from optimized_rag_tpu.models.corpus import harvest_docstrings
@@ -111,6 +132,7 @@ def main() -> None:
         args.out, texts, encoder_cfg=enc_cfg, cross_cfg=enc_cfg,
         decoder_cfg=dec_cfg, mesh=mesh, steps=steps, batch=128,
         store_dtype=np.float16, decoder_texts=real,
+        learned_vocab=(args.profile == "xl"),
         log=lambda m: print(m, flush=True))
     print(f"losses: {losses} ({time.time() - t0:.0f}s)", flush=True)
 
@@ -127,7 +149,9 @@ def main() -> None:
             return idx.search(service.encode([q]), k).ids[0].tolist()
         return evaluate_retriever(retrieve, ds, k=10)["recall@10"]
 
-    svc_t = EmbeddingService(cfg_t, params=params_t, max_len=64)
+    svc_t = EmbeddingService(
+        cfg_t, params=params_t, max_len=64,
+        tokenizer=pretrain.load_tokenizer(args.out, cfg_t.vocab_size, 64))
     r_trained = recall(svc_t)
     r_random = recall(EmbeddingService(enc_cfg, max_len=64, seed=7))
     print(f"recall@10 trained={r_trained:.3f} random={r_random:.3f}",

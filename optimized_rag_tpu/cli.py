@@ -181,8 +181,10 @@ def cmd_train(args) -> int:
         return evaluate_retriever(retrieve, ds, k=10)["recall@10"]
 
     cfg_params = pretrain.load_pretrained(out_dir, "biencoder")
-    trained = EmbeddingService(cfg_params[0], params=cfg_params[1],
-                               max_len=64)
+    trained = EmbeddingService(
+        cfg_params[0], params=cfg_params[1], max_len=64,
+        tokenizer=pretrain.load_tokenizer(out_dir,
+                                          cfg_params[0].vocab_size, 64))
     random_init = EmbeddingService(enc_cfg, max_len=64, seed=7)
     r_trained = recall_with(trained)
     r_random = recall_with(random_init)

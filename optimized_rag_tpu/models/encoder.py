@@ -153,11 +153,14 @@ class EmbeddingService:
 
     def __init__(self, cfg: TransformerConfig | None = None, params=None,
                  seed: int = 0, cache_size: int = 4096, max_len: int = 128,
-                 matryoshka_dim: int | None = None):
+                 matryoshka_dim: int | None = None, tokenizer=None):
         self.cfg = cfg or TransformerConfig()
         self.max_len = max_len
         self.matryoshka_dim = matryoshka_dim
-        self.tokenizer = HashTokenizer(self.cfg.vocab_size, max_len)
+        # tokenizer must match training (learned-vocab checkpoints ship
+        # tokenizer.vocab.txt — models/pretrain.load_tokenizer)
+        self.tokenizer = tokenizer or HashTokenizer(self.cfg.vocab_size,
+                                                    max_len)
         self.model = BiEncoder(self.cfg)
         if params is None:
             ids = jnp.zeros((1, 8), jnp.int32)
@@ -262,10 +265,11 @@ class CrossEncoderService:
     BATCH_BUCKETS = (8, 32, 64)
 
     def __init__(self, cfg: TransformerConfig | None = None, params=None,
-                 seed: int = 1, max_len: int = 256):
+                 seed: int = 1, max_len: int = 256, tokenizer=None):
         self.cfg = cfg or TransformerConfig()
         self.max_len = max_len
-        self.tokenizer = HashTokenizer(self.cfg.vocab_size, max_len)
+        self.tokenizer = tokenizer or HashTokenizer(self.cfg.vocab_size,
+                                                    max_len)
         self.model = CrossEncoder(self.cfg)
         if params is None:
             ids = jnp.zeros((1, 8), jnp.int32)
