@@ -2,12 +2,14 @@
 
 The BASELINE.json north star: recall@10 parity with exact search and
 >10x QPS/chip over the CPU pipeline at 10M chunks. Headline = the
-EXACT batch-union-verified kernel (ops/topk.pallas_topk_verified_batch,
-the dispatch/DenseIndex default at this shape): fast tile_k=2 extraction
-plus one contiguous MXU rescan of the hottest suspicious tiles, with a
-per-call certification counter proving coverage. The explicitly
-approximate ANN mode (tile_k=2, no rescan) is reported alongside with
-measured recall. CPU baseline: NumPy exact brute force.
+EXACT certified kernel (ops/topk.pallas_topk_certified — round-3
+single-pass packed extraction + certified rescue/rescan covers, the
+dispatch/DenseIndex default at this shape) at batch 1024, with a
+per-call certification counter proving coverage. Batch 512 is reported
+alongside for round-1/2 comparability, as is the explicitly approximate
+ANN mode (tile_k=2 extraction, no rescan) with measured recall, and a
+driver-captured serving probe (encoder + micro-batching dispatcher,
+VERDICT r2 missing #5).
 
 Protocol notes (see docs/RESULTS_r1.md):
   * the corpus is GENERATED ON DEVICE — nothing large crosses the
@@ -20,9 +22,14 @@ Protocol notes (see docs/RESULTS_r1.md):
     batch's compute, exactly as a serving loop runs; every result is
     still materialized on the host. Per-batch SYNC latency (one batch in
     flight end-to-end) is reported separately as p50_batch_ms.
-  * the CPU baseline runs the same workload shape on a host-side corpus
-    (throughput is data-independent); fewer queries, since exact CPU scan
-    at 10M is ~seconds per query
+  * round-3 finding: at B=512 every kernel variant converges to a
+    ~31 ms/batch pipelined floor at 10M AND 16M rows — the dispatch
+    path, not compute, binds; B=1024 amortizes it (the r2 kernel cannot
+    even compile B=1024 — its [B, tile] extraction state overflows the
+    16 MB VMEM budget; the packed kernel fits).
+  * the CPU baseline runs the same workload shape on a host-side corpus:
+    a fast N/8-subsample estimate (cache-favorable LOWER bound on CPU
+    latency) plus one slow FULL-corpus confirmation (r1 protocol).
 
 Prints ONE JSON line on stdout; diagnostics on stderr.
 """
@@ -54,7 +61,7 @@ def main() -> None:
     import jax.numpy as jnp
     from benchmarks.common import make_corpus_device
     from optimized_rag_tpu.ops.topk import (
-        chunked_topk, pallas_topk, pallas_topk_verified_batch)
+        chunked_topk, pallas_topk, pallas_topk_certified)
     from optimized_rag_tpu.utils.health import check_device_health
 
     # The chip takes 1-3 min to grant a claim after another process exits;
@@ -69,10 +76,13 @@ def main() -> None:
     else:
         log("WARNING: proceeding despite failing health checks")
 
-    N, D, B, K = 10 * (1 << 20), 128, 512, 10
-    TILE, TILE_K = 4096, 2
+    N, D, K = 10 * (1 << 20), 128, 10
+    B_HEAD, B_CMP = 1024, 512
+    TILE = 4096
     backend = jax.default_backend()
-    log(f"backend={backend} corpus={N}x{D} bf16, batch={B}, k={K}")
+    on_tpu = backend == "tpu"
+    log(f"backend={backend} corpus={N}x{D} bf16, k={K}, "
+        f"batch headline={B_HEAD} (b{B_CMP} + ANN alongside)")
 
     t0 = time.perf_counter()
     corpus = make_corpus_device(N, D, clusters=4096, dtype=jnp.bfloat16)
@@ -80,22 +90,23 @@ def main() -> None:
     log(f"on-device corpus ready in {time.perf_counter() - t0:.0f}s")
 
     rng = np.random.default_rng(0)
-    q = rng.standard_normal((B, D)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    qj = jnp.asarray(q)
-    # Distinct staged query batches for the pipelined throughput loop.
-    qjs = []
-    for _ in range(4):
-        qq = rng.standard_normal((B, D)).astype(np.float32)
-        qq /= np.linalg.norm(qq, axis=1, keepdims=True)
-        qjs.append(jax.device_put(jnp.asarray(qq)))
-    on_tpu = backend == "tpu"
+
+    def qbatches(b, n=4):
+        out = []
+        for _ in range(n):
+            qq = rng.standard_normal((b, D)).astype(np.float32)
+            qq /= np.linalg.norm(qq, axis=1, keepdims=True)
+            out.append(jax.device_put(jnp.asarray(qq)))
+        return out
+
+    q512 = qbatches(B_CMP)
+    q1024 = qbatches(B_HEAD)
 
     def exact(qq):
-        """Certified-exact batch-union kernel; returns (s, ids, covered)."""
+        """Certified-exact kernel; returns (s, ids, counter_row)."""
         if on_tpu:
-            s, packed = pallas_topk_verified_batch(qq, corpus, K, tile=TILE,
-                                                   tile_k=TILE_K)
+            s, packed = pallas_topk_certified(qq, corpus, K, tile=TILE,
+                                              groups=8)
             return s, packed[:-1], packed[-1:]
         s, i = chunked_topk(qq, corpus, K, chunk=1 << 17)
         return s, i, None
@@ -103,36 +114,32 @@ def main() -> None:
     def fast(qq):
         """Approximate ANN mode (explicit opt-in path)."""
         if on_tpu:
-            return pallas_topk(qq, corpus, K, tile=TILE, tile_k=TILE_K)
+            return pallas_topk(qq, corpus, K, tile=TILE, tile_k=2)
         return chunked_topk(qq, corpus, K, chunk=1 << 17)
 
     # recall of the approximate mode vs the certified-exact kernel
     # (device oracle — the corpus never leaves the device).
-    _, i_exact, cover = exact(qj)
-    uncovered = int(np.asarray(cover)[0, 0]) if cover is not None else 0
-    log(f"exactness certification: uncovered={uncovered} (0 = exact)")
+    _, i_exact, cover = exact(q512[0])
+    uncovered512 = int(np.asarray(cover)[0, 0]) if cover is not None else 0
+    _, _, cover1k = exact(q1024[0])
+    uncovered = int(np.asarray(cover1k)[0, 0]) if cover1k is not None else 0
+    log(f"exactness certification: uncovered b512={uncovered512} "
+        f"b1024={uncovered} (0 = exact)")
     i_exact = np.asarray(i_exact)
-    s, i = fast(qj)
+    s, i = fast(q512[0])
     i_np = np.asarray(i)
     recall = float(np.mean([len(set(i_np[r]) & set(i_exact[r])) / K
-                            for r in range(B)]))
+                            for r in range(B_CMP)]))
     log(f"approx-mode recall@{K} vs exact kernel: {recall:.4f}")
 
-    def timed_sync(fn, iters=10):
-        """One batch in flight: per-batch latency (dispatch + compute +
-        result transfer, serialized)."""
+    def timed_sync(fn, qjs, iters=10):
         t0 = time.perf_counter()
         for j in range(iters):
             out = fn(qjs[j % len(qjs)])
             _ = np.asarray(out[1])
         return (time.perf_counter() - t0) / iters
 
-    def timed_pipe(fn, iters=20, depth=2):
-        """Throughput protocol: depth-2 pipeline — dispatch batch j+1,
-        then materialize batch j on the host. Every result is still
-        fetched to the host; transfer overlaps the next batch's compute
-        (what any real serving loop does). Depth 2 is measured optimal;
-        deeper adds nothing."""
+    def timed_pipe(fn, qjs, iters=20, depth=2):
         pend = []
         t0 = time.perf_counter()
         for j in range(iters):
@@ -143,67 +150,199 @@ def main() -> None:
             _ = np.asarray(pend.pop(0)[1])
         return (time.perf_counter() - t0) / iters
 
-    # HEADLINE: the certified-exact kernel, pipelined throughput.
-    sync_s = timed_sync(exact)
-    dev_s = timed_pipe(exact)
-    dev_qps = B / dev_s
-    log(f"EXACT device: sync {sync_s * 1e3:.2f} ms/batch "
-        f"({B / sync_s:.0f} qps); pipelined {dev_s * 1e3:.2f} ms/batch "
-        f"-> {dev_qps:.0f} qps "
+    # HEADLINE: certified-exact kernel, pipelined throughput at B=1024.
+    sync_s = timed_sync(exact, q1024)
+    dev_s = timed_pipe(exact, q1024)
+    dev_qps = B_HEAD / dev_s
+    log(f"EXACT b{B_HEAD}: sync {sync_s * 1e3:.2f} ms/batch "
+        f"({B_HEAD / sync_s:.0f} qps); pipelined {dev_s * 1e3:.2f} ms/batch"
+        f" -> {dev_qps:.0f} qps "
         f"({N * D * 2 / dev_s / 1e9:.0f} GB/s effective)")
 
-    # Approximate ANN mode alongside.
-    ann_sync_s = timed_sync(fast)
-    ann_s = timed_pipe(fast)
-    ann_qps = B / ann_s
-    log(f"ANN mode: sync {ann_sync_s * 1e3:.2f} ms/batch; pipelined "
-        f"{ann_s * 1e3:.2f} ms/batch -> {ann_qps:.0f} qps "
+    # Comparability: same kernel at the round-1/2 batch size.
+    sync512_s = timed_sync(exact, q512)
+    dev512_s = timed_pipe(exact, q512)
+    log(f"EXACT b{B_CMP}: sync {sync512_s * 1e3:.2f} ms/batch; pipelined "
+        f"{dev512_s * 1e3:.2f} ms/batch -> {B_CMP / dev512_s:.0f} qps")
+
+    # Approximate ANN mode alongside (b512: its unpacked per-tile outputs
+    # overflow VMEM at b1024 — the packed kernel is also the capacity win).
+    ann_sync_s = timed_sync(fast, q512)
+    ann_s = timed_pipe(fast, q512)
+    ann_qps = B_CMP / ann_s
+    log(f"ANN mode b{B_CMP}: sync {ann_sync_s * 1e3:.2f} ms/batch; "
+        f"pipelined {ann_s * 1e3:.2f} ms/batch -> {ann_qps:.0f} qps "
         f"at measured recall {recall:.4f}")
 
     # CPU exact baseline (pgvector-equivalent brute force), same D/k.
-    # Brute-force scan time is linear in rows, so measure on an N/8
-    # subsample and scale by 8 — small hosts (this one has os.cpu_count()
-    # cores) cannot scan 10M x 128 within the harness budget. The scaling
-    # favors the CPU: the smaller corpus is more cache-friendly, so the
-    # scaled estimate is a LOWER bound on true 10M latency and
-    # vs_baseline is conservative. Warm pass first; best-of-2 so host
-    # noise can't inflate vs_baseline.
+    # (a) fast N/8-subsample estimate — linear scaling, cache-favorable
+    # LOWER bound on true latency, so vs_baseline stays conservative;
+    # (b) one slow full-corpus confirmation (round-1 protocol) so the
+    # scaling claim is re-anchored every round (VERDICT r2 weak #3).
     bc = 16
     sub = 8
     n_cpu = N // sub
+    cpu_q = rng.standard_normal((bc, D)).astype(np.float32)
+    cpu_q /= np.linalg.norm(cpu_q, axis=1, keepdims=True)
     cpu_corpus = rng.standard_normal((n_cpu, D), dtype=np.float32)
     cpu_corpus /= np.linalg.norm(cpu_corpus, axis=1, keepdims=True)
-    _ = q[:2] @ cpu_corpus.T  # touch every page
+    _ = cpu_q[:2] @ cpu_corpus.T  # touch every page
     best = float("inf")
     for _rep in range(2):
         t0 = time.perf_counter()
-        scores = q[:bc] @ cpu_corpus.T
+        scores = cpu_q @ cpu_corpus.T
         part = np.argpartition(-scores, K, axis=1)[:, :K]
         _ = np.take_along_axis(scores, part, axis=1)
         best = min(best, (time.perf_counter() - t0) / bc)
-    cpu_s = best * sub
+    cpu_est_s = best * sub
+    log(f"cpu subsample at {n_cpu} rows: {best:.3f} s/query x{sub} "
+        f"-> {cpu_est_s:.2f} s/query estimated")
+    # full-corpus confirmation: stream all N rows slab by slab (each slab
+    # is 670 MB — far beyond cache, so this measures RAM-streaming exact
+    # scan like r1's protocol) and time only the scoring work.
+    full_s = None
+    try:
+        fq = cpu_q[:2]
+        scan_t = 0.0
+        best_parts = []
+        for slab in range(sub):
+            sc = (cpu_corpus if slab == 0 else
+                  np.random.default_rng(slab).standard_normal(
+                      (n_cpu, D)).astype(np.float32))
+            if slab:
+                sc /= np.linalg.norm(sc, axis=1, keepdims=True)
+            t0 = time.perf_counter()
+            scores = fq @ sc.T
+            part = np.argpartition(-scores, K, axis=1)[:, :K]
+            best_parts.append(np.take_along_axis(scores, part, axis=1))
+            scan_t += time.perf_counter() - t0
+        _ = np.sort(np.concatenate(best_parts, axis=1), axis=1)[:, -K:]
+        full_s = scan_t / len(fq)
+        log(f"cpu full-corpus confirm: {full_s:.2f} s/query "
+            f"(streamed {sub} slabs, scoring time only)")
+    except MemoryError:
+        log("cpu full-corpus confirm skipped (RAM)")
+    cpu_s = cpu_est_s
     cpu_qps = 1.0 / cpu_s
-    log(f"cpu measured at {n_cpu} rows: {best:.3f} s/query x{sub}")
     log(f"cpu exact: {cpu_s:.2f} s/query -> {cpu_qps:.2f} qps")
 
+    # Serving probe (VERDICT r2 missing #5): trained encoder + DenseIndex
+    # behind the micro-batching QueryServer, 5-second client storm.
+    serving = {}
+    try:
+        serving = _serving_probe(log)
+    except Exception as exc:  # never let the probe sink the kernel metric
+        log(f"serving probe failed: {exc!r}")
+
     print(json.dumps({
-        "metric": f"dense_topk_qps_10M_{D}d_b{B}",
+        "metric": f"dense_topk_qps_10M_{D}d_b{B_HEAD}",
         "value": round(dev_qps, 1),
         "unit": "qps/chip",
         "vs_baseline": round(dev_qps / cpu_qps, 1),
-        "mode": "exact (batch-union verified)",
+        "mode": "exact (certified: rescue+rescan covers, counter-verified)",
         "exactness_uncovered": uncovered,
         "recall_at_10": 1.0 if uncovered == 0 else None,
         "p50_batch_ms": round(sync_s * 1e3, 2),
         "pipelined_batch_ms": round(dev_s * 1e3, 2),
-        "sync_qps": round(B / sync_s, 1),
+        "sync_qps": round(B_HEAD / sync_s, 1),
+        "b512_qps": round(B_CMP / dev512_s, 1),
+        "b512_pipelined_batch_ms": round(dev512_s * 1e3, 2),
+        "b512_uncovered": uncovered512,
         "ann_mode_qps": round(ann_qps, 1),
         "ann_mode_recall_at_10": round(recall, 4),
         "ann_mode_p50_batch_ms": round(ann_sync_s * 1e3, 2),
         "cpu_baseline_qps": round(cpu_qps, 3),
+        "cpu_full_corpus_s_per_query": round(full_s, 2) if full_s else None,
         "corpus": f"{N}x{D} bf16",
         "backend": backend,
+        **serving,
     }))
+
+
+def _serving_probe(log) -> dict:
+    """5-second QueryServer storm: real encoder forward + index search
+    through the micro-batching dispatcher. Returns serving_* fields."""
+    import threading
+
+    from optimized_rag_tpu.index.dense import DenseIndex
+    from optimized_rag_tpu.models import pretrain
+    from optimized_rag_tpu.models.encoder import EmbeddingService
+    from optimized_rag_tpu.serving import QueryServer
+
+    try:  # reuse compiled encoder executables across bench runs
+        from optimized_rag_tpu.config import Settings
+        from optimized_rag_tpu.utils.compile_cache import (
+            setup_compilation_cache)
+        setup_compilation_cache(Settings())
+    except Exception:
+        pass
+    repo = os.path.dirname(os.path.abspath(__file__))
+    loaded = pretrain.load_pretrained(
+        os.path.join(repo, "checkpoints", "pretrained"), "biencoder")
+    if loaded is None:
+        log("serving probe skipped: no bundled checkpoint")
+        return {}
+    cfg, params = loaded
+    svc = EmbeddingService(
+        cfg, params=params, max_len=64, cache_size=0,
+        tokenizer=pretrain.load_tokenizer(
+            os.path.join(repo, "checkpoints", "pretrained"),
+            cfg.vocab_size, 64))
+    docs = [f"document {i} covers topic {i % 97} in technical depth "
+            f"with details about subsystem {i % 13}" for i in range(8192)]
+    idx = DenseIndex(dim=svc.dim, capacity_block=1 << 13, tile=1024)
+    t0 = time.perf_counter()
+    for i in range(0, len(docs), 512):
+        idx.add(svc.encode(docs[i:i + 512]))
+    log(f"serving probe: indexed {len(docs)} docs in "
+        f"{time.perf_counter() - t0:.0f}s")
+    b = 1
+    while b <= 64:  # warm every pow2 bucket (encode AND search programs)
+        idx.search(svc.encode([f"warm {j}" for j in range(b)]), k=10)
+        b *= 2
+    server = QueryServer(svc.encode, idx, max_batch=64, max_wait_ms=5.0,
+                         workers=2)
+    server.start()
+    futs = [server.submit(f"warm storm {i}") for i in range(256)]
+    for f in futs:
+        f.result(timeout=300)
+
+    stop_at = time.perf_counter() + 5.0
+    counts = [0] * 64
+    lat: list = []
+    lat_lock = threading.Lock()
+
+    def client(cid):
+        j = 0
+        while time.perf_counter() < stop_at:
+            t0 = time.perf_counter()
+            server.search(f"query {cid} number {j} about topic "
+                          f"{(cid * 31 + j) % 97}", k=10, timeout=120)
+            with lat_lock:
+                lat.append((time.perf_counter() - t0) * 1e3)
+            counts[cid] += 1
+            j += 1
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(64)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    server.stop()
+    n = sum(counts)
+    lat.sort()
+    out = {
+        "serving_qps": round(n / wall, 1),
+        "serving_clients": 64,
+        "serving_p50_ms": round(lat[len(lat) // 2], 1) if lat else None,
+        "serving_p99_ms": round(lat[int(len(lat) * .99)], 1) if lat else None,
+        "serving_avg_batch": round(server.get_stats()["avg_batch"], 1),
+    }
+    log(f"serving probe: {out}")
+    return out
 
 
 if __name__ == "__main__":
