@@ -54,8 +54,11 @@ class DeterministicLLM:
         """Pull [N]-tagged context items out of a generation prompt.
 
         Items are multi-line (chunk text keeps its newlines): each runs
-        until the next ``[N]`` line; the last one stops at the blank line
-        before the Question/Query/Answer trailer.
+        until the next ``[N]`` line, an auxiliary context section header
+        ([Conversation]/[KG]/[Reasoning]/[Synthesis], appended by
+        generate_response after the numbered docs), or the blank line
+        before the Question/Query/Answer trailer — so auxiliary sections
+        never bleed into the last numbered doc and citations stay aligned.
         """
         starts = list(re.finditer(r"^\[\d+\][ \t]*", prompt, re.MULTILINE))
         docs = []
@@ -63,6 +66,8 @@ class DeterministicLLM:
             end = starts[j + 1].start() if j + 1 < len(starts) \
                 else len(prompt)
             text = prompt[m.end():end]
+            text = re.split(
+                r"\n\[(?:Conversation|KG|Reasoning|Synthesis)\]", text)[0]
             if j + 1 == len(starts):
                 text = re.split(
                     r"\n\s*\n(?=(?:Core memory|Question|Query|Answer)\b)",
@@ -151,10 +156,10 @@ class DeterministicLLM:
             return {"rewritten_query": q, "simplified": q, "variants": [q],
                     "corrections_applied": False}
         if task == "generate":
-            docs = self._context_docs(prompt)
             answer = self._generate(prompt)
             return {"answer": answer,
-                    "citations": list(range(1, min(len(docs), 3) + 1))}
+                    "citations": sorted({int(m) for m in
+                                         re.findall(r"\[(\d+)\]", answer)})}
         if task == "tier3_decision":
             # Mirror the reference's decision criteria deterministically
             # (hierarchical_retriever.py:556-561): recency keywords or low
@@ -196,37 +201,98 @@ class DeterministicLLM:
             return "question_answering"
         return "conversational"
 
+    _STOP = frozenset(
+        "the a an is are was were of to and in on by for with that this "
+        "its as at or it do does did what which who when where why how "
+        "much many size shape have has had can could would should".split())
+
+    @classmethod
+    def _stem(cls, w: str) -> str:
+        for suf in ("ings", "ing", "edly", "ed", "es", "s", "ly"):
+            if w.endswith(suf) and len(w) - len(suf) >= 3:
+                w = w[: -len(suf)]
+                break
+        # Normalize inflection artifacts so base and derived forms meet:
+        # scanning->scann->scan (vs scan), storing->stor (vs store->stor).
+        if len(w) > 3 and w[-1] == w[-2] and w[-1] not in "aeiou0123456789":
+            w = w[:-1]
+        if len(w) > 3 and w[-1] == "e":
+            w = w[:-1]
+        return w
+
     def _generate(self, prompt: str) -> str:
+        """Global sentence-level extraction with per-sentence citations.
+
+        Every sentence of every numbered doc is scored against the query
+        (stemmed unigram overlap + doubled bigram hits); the best
+        sentence wins, and a second is appended only when it scores
+        within 60% of the winner — each cited with ITS OWN doc number,
+        so citations always point at the sentence's true source.
+        """
         docs = self._context_docs(prompt)
         if not docs:
             return ("I don't have enough information in the provided "
                     "context to answer that.")
-        q_words = set(re.findall(r"[a-z0-9]+",
-                                 self._query_of(prompt).lower()))
-
+        q_raw = re.findall(r"[a-z0-9]+", self._query_of(prompt).lower())
+        q_terms = [self._stem(w) for w in q_raw
+                   if w not in self._STOP and len(w) > 2]
+        q_set = set(q_terms)
+        q_bigrams = {(a, b) for a, b in zip(q_terms, q_terms[1:])}
         noise = {"user", "assistant", "conversation"}
 
-        def overlap(text):
-            return len(q_words & set(re.findall(r"[a-z0-9]+", text.lower())))
+        def words(text):
+            return [self._stem(w) for w in
+                    re.findall(r"[a-z0-9]+", text.lower())]
 
-        def novel(text):
-            # Content words beyond the query's own: an item that only
-            # echoes the query (e.g. the user's question surfaced from
-            # recall memory, possibly with [N] citation markers from a
-            # stored answer) answers nothing.
-            text = re.sub(r"\[\d+\]", " ", text.lower())
-            return len(set(re.findall(r"[a-z0-9]+", text))
-                       - q_words - noise)
+        def score(sent):
+            sw = words(sent)
+            s_set = set(sw)
+            uni = len(q_set & s_set)
+            bi = len(q_bigrams & set(zip(sw, sw[1:])))
+            # A sentence that only echoes the query (e.g. the user's
+            # question surfaced from recall memory) answers nothing.
+            novel_words = s_set - q_set - self._STOP - noise
+            if not novel_words:
+                return 0.0
+            return uni + 2.0 * bi
 
-        ranked = sorted(range(len(docs)), key=lambda i: -overlap(docs[i]))
-        ranked.sort(key=lambda i: novel(docs[i]) == 0)   # echoes last
-        parts = []
-        for i in ranked[:2]:
-            if overlap(docs[i]) == 0 and parts:
-                continue
-            sents = re.split(r"(?<=[.!?])\s+", docs[i].strip())
-            best = max(sents, key=lambda s: (novel(s) > 0, overlap(s)))
-            parts.append(f"{best} [{i + 1}]")
+        doc_sents = [[s.strip() for s in re.split(r"(?<=[.!?])\s+",
+                                                  doc.strip())
+                      if len(s.strip()) >= 3] for doc in docs]
+        cands = []               # (score, doc_idx, sent_idx)
+        for i, sents in enumerate(doc_sents):
+            for j, sent in enumerate(sents):
+                s = score(sent)
+                if s > 0:
+                    cands.append((s, i, j))
+        # Minimum-evidence bar: a multi-term query whose best sentence
+        # shares only one content word is off-topic context, not an
+        # answer — refuse rather than extract (the reference's factuality
+        # gate refuses low-support answers the same way).
+        min_score = 2.0 if len(q_set) >= 3 else 1.0
+        if not cands or max(c[0] for c in cands) < min_score:
+            return ("I don't have enough information in the provided "
+                    "context to answer that.")
+        cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+        sc, i, j = cands[0]
+        winner = doc_sents[i][j]
+        parts = [f"{winner} [{i + 1}]"]
+        # An enumeration announcement ("maintains three kinds of memory",
+        # "consists of:") carries its content in the FOLLOWING sentences —
+        # append them from the same doc so the items make it into the
+        # answer.
+        enum = re.search(
+            r"\b(?:two|three|four|five|several)\s+(?:kinds?|types?|tiers?|"
+            r"levels?|parts?|components?|stages?|categories|memories|"
+            r"modes?)\b", winner, re.IGNORECASE) or winner.endswith(":")
+        if enum:
+            for follow in doc_sents[i][j + 1: j + 4]:
+                parts.append(f"{follow} [{i + 1}]")
+        else:
+            for s, i2, j2 in cands[1:]:
+                if (i2, j2) != (i, j) and s >= 0.6 * sc:
+                    parts.append(f"{doc_sents[i2][j2]} [{i2 + 1}]")
+                    break
         return " ".join(parts)
 
 

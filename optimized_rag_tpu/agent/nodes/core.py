@@ -400,7 +400,8 @@ def verify_response(state: AgentState, agent) -> None:
     pending = [c for c in claims if c.get("supported") is None]
     if pending and agent.ensemble is not None:
         verdicts = agent.ensemble.verify_claims(
-            [c["claim"] for c in pending], evidence)
+            [c["claim"] for c in pending],
+            [d.text for d in state.rag_context])
         for c, v in zip(pending, verdicts):
             c["supported"] = v["supported"]
     for c in claims:

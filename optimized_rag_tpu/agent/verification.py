@@ -104,20 +104,51 @@ class EnsembleVerifier:
         emb_ok, emb_conf = self._embedding_verify(claim, evidence)
         return self._combine(claim, evidence, emb_ok, emb_conf)
 
-    def verify_claims(self, claims: List[str], evidence: str) -> List[Dict]:
+    def verify_claims(self, claims: List[str],
+                      evidence) -> List[Dict]:
         """Batch verification: ONE embedding dispatch for every claim +
-        the evidence (per-claim dispatches each pay a device round trip;
-        the reference pays an OpenAI RPC per claim instead,
-        ensemble_verifier.py:237)."""
+        every evidence doc (per-claim dispatches each pay a device round
+        trip; the reference pays an OpenAI RPC per claim instead,
+        ensemble_verifier.py:237).
+
+        ``evidence`` is a list of doc texts (preferred) or a single
+        string. With a list, each claim is judged against its
+        BEST-matching doc — a claim sourced from the 5th retrieved doc
+        must not be graded against a truncated prefix of the 1st
+        (that failure mode refused correct answers on the QA sheet).
+        """
         if not claims:
             return []
-        embs = np.atleast_2d(self.embed_fn(claims + [evidence[:2000]]))
-        sims = np.asarray(cosine_matrix(jnp.asarray(embs[:-1]),
-                                        jnp.asarray(embs[-1:])))[:, 0]
-        return [
-            self._combine(c, evidence, bool(s >= self.embedding_threshold),
-                          float(np.clip(s, 0.0, 1.0)))
-            for c, s in zip(claims, sims)]
+        docs = [evidence] if isinstance(evidence, str) else list(evidence)
+        docs = [d[:2000] for d in docs if d] or [""]
+        embs = np.atleast_2d(self.embed_fn(claims + docs))
+        sims = np.asarray(cosine_matrix(
+            jnp.asarray(embs[:len(claims)]),
+            jnp.asarray(embs[len(claims):])))      # [claims, docs]
+        doc_toks = [set(lexical_tokens(d)) for d in docs]
+        out = []
+        for ci, claim in enumerate(claims):
+            # Evidence doc selection, most reliable signal first: the
+            # claim's own [N] citation when valid; else the doc that
+            # lexically CONTAINS the claim best (embedding sim as the
+            # tiebreak — an anisotropic encoder's argmax alone picks
+            # wrong docs and a confident verifier then refuses correct
+            # answers).
+            cited = [int(m) - 1 for m in _CITE_RE.findall(claim)
+                     if 1 <= int(m) <= len(docs)]
+            if cited:
+                b = cited[0]
+            else:
+                ctoks = set(lexical_tokens(claim))
+                cont = [len(ctoks & dt) / max(len(ctoks), 1)
+                        for dt in doc_toks]
+                b = int(np.lexsort((sims[ci], np.asarray(cont)))[-1])
+            emb_conf = float(np.clip(sims[ci, b], 0.0, 1.0))
+            out.append(self._combine(
+                claim, docs[b],
+                bool(sims[ci].max() >= self.embedding_threshold),
+                emb_conf))
+        return out
 
     def _combine(self, claim: str, evidence: str, emb_ok: bool,
                  emb_conf: float) -> Dict:
@@ -193,8 +224,10 @@ class SelfRAGEvaluator:
         claims = self.extract_claims(query, answer)
         evidence = "\n".join(d.text for d in docs)[:6000]
         if self.ensemble is not None:
-            # Batched: one embedding dispatch covers every claim.
-            verdicts = self.ensemble.verify_claims(claims, evidence)
+            # Batched: one embedding dispatch covers every claim, each
+            # judged against its best-matching doc.
+            verdicts = self.ensemble.verify_claims(
+                claims, [d.text for d in docs])
             results = [{"claim": c, **v} for c, v in zip(claims, verdicts)]
         else:
             results = []
