@@ -55,6 +55,33 @@ inline bool is_word_byte(unsigned char c) {
   return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9');
 }
 
+// Must match _light_stem in optimized_rag_tpu/index/lexical.py:
+// suffix strip + trailing-double-consonant collapse + trailing-e strip;
+// digit-bearing tokens (bfloat16, v5e) pass through unchanged.
+inline void light_stem(std::string& w) {
+  for (char c : w) {
+    if (c >= '0' && c <= '9') return;
+  }
+  static const char* kSufs[] = {"ings", "ing", "edly", "ed", "es", "s",
+                                "ly"};
+  for (const char* s : kSufs) {
+    const size_t sl = std::strlen(s);
+    if (w.size() >= sl + 3 &&
+        w.compare(w.size() - sl, sl, s) == 0) {
+      w.resize(w.size() - sl);
+      break;
+    }
+  }
+  auto vowel = [](char c) {
+    return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u';
+  };
+  if (w.size() > 3 && w[w.size() - 1] == w[w.size() - 2] &&
+      !vowel(w[w.size() - 1])) {
+    w.pop_back();
+  }
+  if (w.size() > 3 && w.back() == 'e') w.pop_back();
+}
+
 template <typename Fn>
 void for_each_token(const char* text, int64_t len, Fn&& fn) {
   std::string tok;
@@ -65,7 +92,10 @@ void for_each_token(const char* text, int64_t len, Fn&& fn) {
     if (i < len && is_word_byte(c)) {
       tok.push_back(static_cast<char>(c));
     } else if (!tok.empty()) {
-      if (!Stopwords().count(tok)) fn(tok);
+      if (!Stopwords().count(tok)) {
+        light_stem(tok);
+        fn(tok);
+      }
       tok.clear();
     }
   }

@@ -29,8 +29,27 @@ _STOPWORDS = frozenset(
     "to was were will with this these those i you we they what which who".split())
 
 
+def _light_stem(w: str) -> str:
+    """Suffix-strip + inflection normalization (scanning/scans/scan ->
+    scan, stored/storing/store -> stor). Applied identically at index
+    and query time, so it only has to be consistent, not linguistically
+    perfect. Digit-bearing tokens (bfloat16, v5e) pass through."""
+    if any(c.isdigit() for c in w):
+        return w
+    for suf in ("ings", "ing", "edly", "ed", "es", "s", "ly"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            w = w[: -len(suf)]
+            break
+    if len(w) > 3 and w[-1] == w[-2] and w[-1] not in "aeiou":
+        w = w[:-1]
+    if len(w) > 3 and w[-1] == "e":
+        w = w[:-1]
+    return w
+
+
 def lexical_tokens(text: str) -> list[str]:
-    return [t for t in _WORD_RE.findall(text.lower()) if t not in _STOPWORDS]
+    return [_light_stem(t) for t in _WORD_RE.findall(text.lower())
+            if t not in _STOPWORDS]
 
 
 class LexicalIndex:

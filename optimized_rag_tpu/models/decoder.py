@@ -333,4 +333,18 @@ class LocalLMProvider:
         return self.fallback.complete(prompt, task=task, **kw)
 
     def structured(self, prompt: str, keys, task: str = "", **kw):
+        if task == "generate":
+            # Route the answer itself through the decoder (the whole
+            # point of --local-lm); citations are whatever [N] markers
+            # the model emitted. Empty output falls back so the agent
+            # keeps functioning with an untrained/weak checkpoint.
+            import re as _re
+            out = self.generator.generate(
+                prompt, temperature=kw.get("temperature",
+                                           self.temperature))
+            if out.strip():
+                return {"answer": out.strip(),
+                        "citations": sorted({
+                            int(m) for m in
+                            _re.findall(r"\[(\d+)\]", out)})}
         return self.fallback.structured(prompt, keys, task=task, **kw)
