@@ -194,3 +194,72 @@ def test_health_check_timeout_path(monkeypatch):
     # backend and flake this test.
     out = check_device_health(timeout_s=0.0, matmul_dim=4096)
     assert not out["healthy"] and "respond" in out["error"]
+
+
+# ---------------------------------------------------------------- round 3
+# Regression tests for the QA-sheet findings (docs/RESULTS_r3.md §3).
+
+def test_context_docs_stop_at_aux_sections():
+    """[KG]/[Conversation]/... must not bleed into the last numbered doc."""
+    prompt = ("Context:\n"
+              "[1] Alpha doc about kernels.\n"
+              "[2] Beta doc about memory tiers.\n"
+              "[Conversation]\nuser: hi\n"
+              "[KG]\nAlpha|is|kernel\n\n"
+              "Question: what is alpha?\nAnswer:")
+    docs = DeterministicLLM._context_docs(prompt)
+    assert docs == ["Alpha doc about kernels.",
+                    "Beta doc about memory tiers."]
+
+
+def test_generate_cites_true_source_sentence():
+    """Each extracted sentence cites ITS doc, not a fixed top doc."""
+    llm = DeterministicLLM()
+    prompt = ("Context:\n"
+              "[1] Cats are mammals that purr loudly.\n"
+              "[2] Contradiction checking reduces the final confidence "
+              "by fifteen percent for every detected contradiction.\n\n"
+              "Question: How much does each detected contradiction "
+              "reduce confidence?\nAnswer:")
+    out = llm.structured(prompt, ("answer", "citations"), task="generate")
+    assert "[2]" in out["answer"] and "[1]" not in out["answer"]
+    assert out["citations"] == [2]
+
+
+def test_generate_enumeration_pulls_following_sentences():
+    llm = DeterministicLLM()
+    prompt = ("Context:\n"
+              "[1] An agent maintains three kinds of memory. Core memory "
+              "holds persona facts. Archival memory stores passages. "
+              "Recall memory is the conversation log.\n\n"
+              "Question: What are the three kinds of agent memory?\n"
+              "Answer:")
+    ans = llm._generate(prompt)
+    assert "Core memory" in ans and "Archival" in ans and "Recall" in ans
+
+
+def test_generate_refuses_single_word_overlap():
+    """Multi-term query whose best sentence shares ONE content word ->
+    refusal, not an off-topic extraction."""
+    llm = DeterministicLLM()
+    prompt = ("Context:\n"
+              "[1] Tiered retrieval escalates cost only when needed.\n\n"
+              "Question: What did the framework's cloud bill cost in "
+              "March?\nAnswer:")
+    assert "don't have enough information" in llm._generate(prompt)
+
+
+def test_verify_claims_selects_cited_doc_evidence(agent):
+    """A claim sourced from a later doc must be graded against THAT doc,
+    not a prefix of the joined evidence (QA sheet vf-contradiction)."""
+    from optimized_rag_tpu.agent.verification import EnsembleVerifier
+    from tests.fakes import FakeEmbedder
+    ev = EnsembleVerifier(DeterministicLLM(), FakeEmbedder(dim=64))
+    docs = ["Cats are mammals that purr loudly and nap in the sun.",
+            "Dogs are loyal companions that bark at strangers.",
+            "Each detected contradiction reduces the final confidence "
+            "by fifteen percent."]
+    claim = ("Each detected contradiction reduces the final confidence "
+             "by fifteen percent. [3]")
+    verdict = ev.verify_claims([claim], docs)[0]
+    assert verdict["supported"]
