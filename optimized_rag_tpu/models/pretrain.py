@@ -125,6 +125,10 @@ def train_cross_encoder(texts: Sequence[str], cfg: TransformerConfig,
     from optimized_rag_tpu.models.tokenizer import HashTokenizer
     from optimized_rag_tpu.models.training import CrossEncoderTrainer
     rng = np.random.default_rng(seed)
+    # Pair sequences longer than the position table silently index past
+    # it and train to NaN — clamp instead (observed with a 64-position
+    # smoke config and the default max_len=96).
+    max_len = min(max_len, cfg.max_seq_len)
     tok = tok or HashTokenizer(cfg.vocab_size, max_len)
     trainer = CrossEncoderTrainer(cfg, mesh, learning_rate=learning_rate,
                                   seed=seed)
