@@ -55,7 +55,7 @@ def _iter_docstrings(path: str) -> Iterable[str]:
 
 def harvest_docstrings(packages: Optional[Iterable[str]] = None,
                        min_chars: int = 200, max_chars: int = 1200,
-                       max_files_per_pkg: int = 400,
+                       max_files_per_pkg: int = 1600,
                        max_chunks: int = 30000,
                        seed: int = 0) -> List[str]:
     """Collect docstring paragraphs from installed packages as text chunks.
@@ -138,7 +138,7 @@ def _dedup_cap(chunks: List[str], max_chunks: int, seed: int) -> List[str]:
 
 def harvest_source_functions(packages: Optional[Iterable[str]] = None,
                              min_chars: int = 200, max_chars: int = 1200,
-                             max_files_per_pkg: int = 600,
+                             max_files_per_pkg: int = 2400,
                              max_chunks: int = 60000,
                              seed: int = 1) -> List[str]:
     """Function/class SOURCE segments (signature + body) as text chunks.
