@@ -64,17 +64,27 @@ def main() -> None:
         chunked_topk, pallas_topk, pallas_topk_certified)
     from optimized_rag_tpu.utils.health import check_device_health
 
-    # The chip takes 1-3 min to grant a claim after another process exits;
-    # wait for health rather than hanging silently in the first op.
-    for attempt in range(4):
+    # The chip takes 1-3 min to grant a claim after another process exits
+    # (hours-long relay outages observed); wait for health rather than
+    # hanging silently in the first op. If the device never turns up,
+    # emit a PARSEABLE failure line and exit — after a failed probe the
+    # backend-init lock is poisoned and any further device touch in this
+    # process blocks forever.
+    for attempt in range(8):
         health = check_device_health(timeout_s=120)
         if health.get("healthy"):
             log(f"device healthy: {health}")
             break
-        log(f"device not ready (attempt {attempt + 1}/4): {health}")
+        log(f"device not ready (attempt {attempt + 1}/8): {health}")
         time.sleep(60)
     else:
-        log("WARNING: proceeding despite failing health checks")
+        print(json.dumps({
+            "metric": "dense_topk_qps_10M_128d_b1024", "value": 0.0,
+            "unit": "qps/chip", "vs_baseline": 0.0,
+            "error": "device unavailable: health probes failed for "
+                     "~24 min (relay down or chip claim wedged)",
+            "backend": "unavailable"}))
+        sys.exit(1)
 
     N, D, K = 10 * (1 << 20), 128, 10
     B_HEAD, B_CMP = 1024, 512
