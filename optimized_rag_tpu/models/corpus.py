@@ -24,6 +24,12 @@ _WS = re.compile(r"[ \t]+")
 _DEFAULT_PACKAGES = (
     "numpy", "jax", "jaxlib", "flax", "optax", "chex", "orbax",
     "torch", "transformers", "pandas", "scipy",
+    # Stdlib modules carry dense, well-edited prose docstrings — a
+    # different register from ML-library prose (VERDICT r2 #5:
+    # "stdlib docs" as a harvest source).
+    "asyncio", "email", "logging", "unittest", "http", "xml",
+    "multiprocessing", "concurrent", "ctypes", "collections", "urllib",
+    "sqlite3", "json", "importlib", "statistics", "decimal",
 )
 
 
