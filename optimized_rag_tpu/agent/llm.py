@@ -19,6 +19,7 @@ no hidden default since this build environment has zero egress).
 from __future__ import annotations
 
 import json
+import math
 import re
 from typing import Dict, List, Protocol, Sequence
 
@@ -208,7 +209,8 @@ class DeterministicLLM:
 
     @classmethod
     def _stem(cls, w: str) -> str:
-        for suf in ("ings", "ing", "edly", "ed", "es", "s", "ly"):
+        for suf in ("ings", "ions", "ing", "ion", "edly", "ed", "es",
+                    "s", "ly"):
             if w.endswith(suf) and len(w) - len(suf) >= 3:
                 w = w[: -len(suf)]
                 break
@@ -223,11 +225,22 @@ class DeterministicLLM:
     def _generate(self, prompt: str) -> str:
         """Global sentence-level extraction with per-sentence citations.
 
-        Every sentence of every numbered doc is scored against the query
-        (stemmed unigram overlap + doubled bigram hits); the best
-        sentence wins, and a second is appended only when it scores
-        within 60% of the winner — each cited with ITS OWN doc number,
-        so citations always point at the sentence's true source.
+        Every sentence of every numbered doc is scored against the query:
+        stemmed unigram overlap weighted by sentence-level IDF (a query
+        term appearing in half the context's sentences — e.g. the
+        subject entity's name — carries less evidence than a term
+        appearing in one), doubled IDF-weighted bigram hits, a 1.5×
+        boost on the question's fronted focus term, a length
+        normalization that stops run-on pseudo-sentences (title/author
+        blocks in PDFs) from winning on raw term count, and a
+        redundancy split so N sentences matching in the identical way
+        (running headers, restated proposal sentences) share one
+        sentence's worth of credit. The refusal bar stays on RAW match
+        counts so reweighting never changes what gets refused. The best
+        sentence wins; a second is appended only when it scores within
+        60% of the winner and matches differently than the winner —
+        each cited with ITS OWN doc number, so citations always point
+        at the sentence's true source.
         """
         docs = self._context_docs(prompt)
         if not docs:
@@ -244,54 +257,103 @@ class DeterministicLLM:
             return [self._stem(w) for w in
                     re.findall(r"[a-z0-9]+", text.lower())]
 
-        def score(sent):
-            sw = words(sent)
+        doc_sents = [[s.strip() for s in re.split(r"(?<=[.!?])\s+",
+                                                  doc.strip())
+                      if len(s.strip()) >= 3] for doc in docs]
+        sent_words = [[words(s) for s in sents] for sents in doc_sents]
+
+        # Sentence-level IDF over the context: normalized so an
+        # average-rarity query term contributes ~1.0, keeping the
+        # min_score bar below in absolute units.
+        n_sents = sum(len(s) for s in sent_words) or 1
+        df = {t: sum(t in set(sw) for sws in sent_words for sw in sws)
+              for t in q_set}
+        idf = {t: math.log((1.0 + n_sents) / (1.0 + df[t])) + 0.1
+               for t in q_set}
+        mean_idf = (sum(idf.values()) / len(idf)) if idf else 1.0
+        w = {t: v / mean_idf for t, v in idf.items()} if mean_idf else idf
+        # English wh-questions front their focus ("What LEARNING RATE
+        # does...", "What GUIDES..."): the first content term is the
+        # question's head — a sentence matching it is far likelier to
+        # answer than one echoing the subject entity's name.
+        if q_terms:
+            w[q_terms[0]] = w.get(q_terms[0], 1.0) * 1.5
+
+        def score(sw):
+            """(weighted score, raw match count for the bar, signature)."""
             s_set = set(sw)
-            uni = len(q_set & s_set)
-            bi = len(q_bigrams & set(zip(sw, sw[1:])))
+            hits = q_set & s_set
+            bi_hits = q_bigrams & set(zip(sw, sw[1:]))
             # A sentence that only echoes the query (e.g. the user's
             # question surfaced from recall memory) answers nothing.
             novel_words = s_set - q_set - self._STOP - noise
             if not novel_words:
-                return 0.0
-            return uni + 2.0 * bi
+                return 0.0, 0.0, None
+            uni = sum(w[t] for t in hits)
+            bi = sum((w[a] + w[b]) / 2.0 for (a, b) in bi_hits)
+            # Run-on pseudo-sentences (PDF title/author blocks never
+            # broken by punctuation) accumulate matches by sheer size.
+            length_norm = max(1.0, math.sqrt(len(sw) / 30.0))
+            return ((uni + 2.0 * bi) / length_norm,
+                    len(hits) + 2.0 * len(bi_hits),
+                    (frozenset(hits), frozenset(bi_hits)))
 
-        doc_sents = [[s.strip() for s in re.split(r"(?<=[.!?])\s+",
-                                                  doc.strip())
-                      if len(s.strip()) >= 3] for doc in docs]
-        cands = []               # (score, doc_idx, sent_idx)
-        for i, sents in enumerate(doc_sents):
-            for j, sent in enumerate(sents):
-                s = score(sent)
+        cands = []               # (score, doc_idx, sent_idx, signature)
+        best_raw = 0.0
+        sig_count: Dict = {}
+        for i, sws in enumerate(sent_words):
+            for j, sw in enumerate(sws):
+                s, raw, sig = score(sw)
                 if s > 0:
-                    cands.append((s, i, j))
+                    cands.append((s, i, j, sig))
+                    sig_count[sig] = sig_count.get(sig, 0) + 1
+                    best_raw = max(best_raw, raw)
+        # Redundancy: N sentences matching the query in the identical
+        # way (same hit/bigram signature — running headers, a proposal
+        # sentence restated in abstract+intro+conclusion) are one piece
+        # of evidence, not N; split their credit so a uniquely-matching
+        # sentence can win.
+        cands = [(s / math.sqrt(sig_count[sig]), i, j, sig)
+                 for (s, i, j, sig) in cands]
         # Minimum-evidence bar: a multi-term query whose best sentence
         # shares only one content word is off-topic context, not an
         # answer — refuse rather than extract (the reference's factuality
-        # gate refuses low-support answers the same way).
+        # gate refuses low-support answers the same way). The bar uses
+        # RAW match counts (IDF reweighting only affects ranking).
         min_score = 2.0 if len(q_set) >= 3 else 1.0
-        if not cands or max(c[0] for c in cands) < min_score:
+        if not cands or best_raw < min_score:
             return ("I don't have enough information in the provided "
                     "context to answer that.")
         cands.sort(key=lambda t: (-t[0], t[1], t[2]))
-        sc, i, j = cands[0]
+        sc, i, j, win_sig = cands[0]
+
+        def clean(sent: str) -> str:
+            # Strip the SOURCE's own inline citation markers ("[22]" in
+            # academic text): kept verbatim they read as this answer's
+            # doc citations and point at nothing.
+            return re.sub(r"\s*\[\d+\]", "", sent).strip()
+
         winner = doc_sents[i][j]
-        parts = [f"{winner} [{i + 1}]"]
+        parts = [f"{clean(winner)} [{i + 1}]"]
         # An enumeration announcement ("maintains three kinds of memory",
         # "consists of:") carries its content in the FOLLOWING sentences —
         # append them from the same doc so the items make it into the
         # answer.
         enum = re.search(
-            r"\b(?:two|three|four|five|several)\s+(?:kinds?|types?|tiers?|"
-            r"levels?|parts?|components?|stages?|categories|memories|"
-            r"modes?)\b", winner, re.IGNORECASE) or winner.endswith(":")
+            r"\b(?:two|three|four|five|several)[-\s]+(?:kinds?|types?|"
+            r"tiers?|levels?|parts?|components?|stages?|categories|"
+            r"memories|modes?)\b", winner, re.IGNORECASE) \
+            or winner.endswith(":")
         if enum:
             for follow in doc_sents[i][j + 1: j + 4]:
-                parts.append(f"{follow} [{i + 1}]")
+                parts.append(f"{clean(follow)} [{i + 1}]")
         else:
-            for s, i2, j2 in cands[1:]:
-                if (i2, j2) != (i, j) and s >= 0.6 * sc:
-                    parts.append(f"{doc_sents[i2][j2]} [{i2 + 1}]")
+            for s, i2, j2, sig2 in cands[1:]:
+                # Skip restatements that match exactly like the winner
+                # (same signature): they add words, not evidence.
+                if (i2, j2) != (i, j) and sig2 != win_sig \
+                        and s >= 0.6 * sc:
+                    parts.append(f"{clean(doc_sents[i2][j2])} [{i2 + 1}]")
                     break
         return " ".join(parts)
 

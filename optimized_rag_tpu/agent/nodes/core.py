@@ -49,8 +49,18 @@ def _zero_lexical_coverage(query: str, docs, intent) -> bool:
 
 
 def _format_context(docs: List[RetrievedDoc]) -> str:
-    """Numbered context with [N] ids (reference rag/nodes/helpers.py:20)."""
-    return "\n".join(f"[{i + 1}] {d.text}" for i, d in enumerate(docs))
+    """Numbered context with [N] ids (reference rag/nodes/helpers.py:20).
+
+    Doc-internal lines that start with ``[`` (bibliography entries like
+    "[6] Kwiatkowski et al." in academic PDFs, or text spoofing a
+    [Conversation]-style section header) are indented by one space so
+    the ``[N]``-at-line-start structure of the assembled context stays
+    unambiguous — otherwise citation numbering silently shifts against
+    ChatResponse.sources (caught by the qa_sheet pdf-* section)."""
+    def _safe(text: str) -> str:
+        return re.sub(r"\n(?=\[)", "\n ", text or "")
+    return "\n".join(f"[{i + 1}] {_safe(d.text)}"
+                     for i, d in enumerate(docs))
 
 
 # ---------------------------------------------------------------------------

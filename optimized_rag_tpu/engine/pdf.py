@@ -17,7 +17,9 @@ round 2 could not ingest the reference's own corpus (VERDICT r2 missing
     applied, tracking the current font through ``/Fn .. Tf`` — this is
     what makes LaTeX/word-processor PDFs with subset fonts readable;
   * Td/TD/T*/ET treated as soft line breaks, large negative TJ kerns as
-    spaces.
+    spaces, and Tm text-matrix repositions with a changed y-translation
+    as line breaks (LaTeX-class writers break lines with Tm, not Td);
+    words hyphenated across line breaks are re-joined.
 
 It is NOT a general PDF renderer: encrypted files, LZW/DCT-only content,
 Type3 glyph programs and object streams (/ObjStm) fall back to whatever
@@ -189,6 +191,8 @@ def _extract_content_text(content: bytes,
     i = 0
     n = len(content)
     pending: List[str] = []     # strings awaiting their operator
+    nums: List[float] = []      # recent numeric tokens (Tm operands)
+    prev_ty: Optional[float] = None
 
     def flush(op: bytes) -> None:
         nonlocal pending
@@ -223,6 +227,22 @@ def _extract_content_text(content: bytes,
             continue
         if content.startswith((b"TJ", b"Tj"), i):
             flush(content[i:i + 2])
+            nums = []
+            i += 2
+            continue
+        if content.startswith(b"Tm", i):
+            # Text-matrix reposition: LaTeX-class writers break lines
+            # with `a b c d e f Tm` instead of Td — without this, the
+            # last word of a line glues onto the first of the next
+            # ("Integrationin"). A y-translation change = new line; a
+            # same-y Tm (mid-line font switch / kerning) emits nothing.
+            if len(nums) >= 6:
+                ty = nums[-1]
+                if prev_ty is not None and abs(ty - prev_ty) > 0.5:
+                    parts.append("\n")
+                    pending = []
+                prev_ty = ty
+            nums = []
             i += 2
             continue
         if b in (0x27, 0x22):                        # ' and " operators
@@ -241,12 +261,16 @@ def _extract_content_text(content: bytes,
             pending = []
             i += 2
             continue
-        if b == 0x2D or 0x30 <= b <= 0x39:           # number (maybe kern)
-            m = re.match(rb"-?\d+(?:\.\d+)?", content[i:])
+        if b == 0x2D or b == 0x2E or 0x30 <= b <= 0x39:  # number
+            m = re.match(rb"-?\.?\d+(?:\.\d+)?", content[i:])
             if m:
-                try:                                  # big negative kern
-                    if float(m.group(0)) < -150:      # = word gap
+                try:
+                    v = float(m.group(0))
+                    if v < -150:                      # big kern = word gap
                         pending.append(" ")
+                    nums.append(v)
+                    if len(nums) > 6:
+                        nums.pop(0)
                 except ValueError:
                     pass
                 i += m.end()
@@ -297,6 +321,17 @@ def extract_pdf_text(path: str) -> str:
             continue          # binary (image/glyph) stream with stray 'BT'
         texts.append(_extract_content_text(s, font_maps))
     text = "\n".join(t for t in texts if t.strip())
+    # Re-join words hyphenated across line breaks ("adap-\ntive").
+    text = re.sub(r"([A-Za-z])-\n([a-z])", r"\1\2", text)
+    # De-wrap visual line breaks inside a sentence: justified PDF text
+    # breaks every ~80 chars, and downstream chunkers split on "\n"
+    # before ". " (reference separator order) — without this, chunk
+    # boundaries cut sentences at arbitrary line wraps. Conservative:
+    # only join when the break is clearly mid-sentence (previous line
+    # ends in a lowercase letter/comma/semicolon and the next starts
+    # lowercase or with a parenthesized item), so headings keep their
+    # own lines.
+    text = re.sub(r"(?<=[a-z,;])\n(?=[a-z(])", " ", text)
     text = re.sub(r"[ \t]+", " ", text)
     text = re.sub(r"\n{3,}", "\n\n", text).strip()
     if not text:

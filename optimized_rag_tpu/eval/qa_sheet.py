@@ -141,6 +141,49 @@ QA_SHEET: List[QAItem] = [
            unanswerable=True),
 ]
 
+# Questions over the reference's OWN fixture corpus
+# (/root/reference/sample/docs/rag/*.pdf — the documents validacao.md
+# probes), ingested through the stdlib PDF extractor (engine/pdf.py).
+# Expected keys quote the extracted text; words containing fi/fl
+# ligatures are avoided because the extractor preserves them verbatim.
+# Run only when the PDF directory is present (--pdf-docs).
+REF_PDF_DIR = "/root/reference/sample/docs/rag"
+
+PDF_SHEET: List[QAItem] = [
+    QAItem("pdf-dwgrpo-objectives",
+           "Which three objectives does DW-GRPO balance?",
+           ["relevance, faithfulness", "faithfulness,and conciseness",
+            "faithfulness, and conciseness"], source_hint="dw-grpo.pdf"),
+    QAItem("pdf-dwgrpo-stages",
+           "What are the stages of Deep GraphRAG's hierarchical "
+           "retrieval strategy?",
+           ["inter-community", "entity-level"], source_hint="dw-grpo.pdf"),
+    QAItem("pdf-dwgrpo-beam",
+           "What guides Deep GraphRAG's three-stage retrieval process?",
+           ["beam search"], source_hint="dw-grpo.pdf"),
+    QAItem("pdf-dwgrpo-compact",
+           "How close does the compact 1.5B model trained with DW-GRPO "
+           "get to the 72B model's Natural Questions performance?",
+           ["94%", "94 percent"], source_hint="dw-grpo.pdf"),
+    QAItem("pdf-dwgrpo-datasets",
+           "Which benchmark datasets were used to evaluate Deep "
+           "GraphRAG?",
+           ["natural questions", "hotpotqa"], source_hint="dw-grpo.pdf"),
+    QAItem("pdf-sys1",
+           "What kind of thinking does predetermined modular reasoning "
+           "resemble in the agentic RAG survey?",
+           ["system 1", "fast, structured"],
+           source_hint="system1-system2.pdf"),
+    QAItem("pdf-sys2",
+           "Which cognitive mode does agentic reasoning align with?",
+           ["system 2", "slow, deliberative"],
+           source_hint="system1-system2.pdf"),
+    QAItem("pdf-rezero",
+           "How does ReZero incentivize persistence in search agents?",
+           ["retry", "trying one more time", "positive reward"],
+           source_hint="system1-system2.pdf"),
+]
+
 _NO_INFO = re.compile(
     r"(don't|do not|does not) have (enough|sufficient) information"
     r"|cannot answer|no relevant", re.IGNORECASE)
@@ -257,10 +300,27 @@ def main(argv=None) -> int:
                     help="use the trained on-device decoder as generator")
     ap.add_argument("--docs", default=None,
                     help="extra corpus directory to ingest (e.g. PDFs)")
+    ap.add_argument("--pdf-docs", default=REF_PDF_DIR,
+                    help="reference sample-PDF dir enabling the pdf-* "
+                         "section ('none' to disable)")
     ap.add_argument("--json", dest="json_out", default=None)
     args = ap.parse_args(argv)
+    sheet = list(QA_SHEET)
+    pdf_dir = None if args.pdf_docs in (None, "none") else args.pdf_docs
+    if pdf_dir and os.path.isdir(pdf_dir):
+        sheet += PDF_SHEET
+    else:
+        pdf_dir = None
+        print("pdf-* section skipped (no PDF dir)", file=sys.stderr)
     agent = build_agent(local_lm=args.local_lm, extra_docs=args.docs)
-    result = run_sheet(agent)
+    if pdf_dir:
+        agent.ingestor.upload_directory(pdf_dir)
+    result = run_sheet(agent, sheet=sheet)
+    pdf_rows = [r for r in result["rows"] if r["id"].startswith("pdf-")]
+    if pdf_rows:
+        result["summary"]["pdf_accuracy"] = (
+            sum(r["correct"] for r in pdf_rows) / len(pdf_rows))
+        result["summary"]["pdf_n"] = len(pdf_rows)
     s = result["summary"]
     print(json.dumps(s, indent=2))
     if args.json_out:

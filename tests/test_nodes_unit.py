@@ -263,3 +263,30 @@ def test_verify_claims_selects_cited_doc_evidence(agent):
              "by fifteen percent. [3]")
     verdict = ev.verify_claims([claim], docs)[0]
     assert verdict["supported"]
+
+
+def test_format_context_neutralizes_bibliography_lines():
+    """Doc text whose lines start with [N] (bibliography entries in
+    academic PDFs) must not create phantom numbered docs: the
+    deterministic generator would otherwise cite shifted indices that
+    don't resolve against ChatResponse.sources (round-3 qa_sheet pdf-*
+    finding)."""
+    docs = [
+        RetrievedDoc(doc_id=1, text="Alpha systems use beam search.\n"
+                     "[6] Someone et al. 2020. A bibliography entry.\n"
+                     "[7] Other et al. 2021. Another entry.",
+                     score=0.9, source=Source.DOCUMENTS),
+        RetrievedDoc(doc_id=2, text="Gamma relies on reciprocal "
+                     "rank fusion for merging.",
+                     score=0.8, source=Source.DOCUMENTS),
+    ]
+    ctx = core._format_context(docs)
+    parsed = DeterministicLLM._context_docs(ctx + "\n\nQuestion: x\nAnswer:")
+    assert len(parsed) == 2
+    assert "bibliography entry" in parsed[0].lower()
+    # end-to-end: the answer sentence from doc 2 must cite [2]
+    llm = DeterministicLLM()
+    ans = llm.complete(
+        f"Context:\n{ctx}\n\nQuestion: What does Gamma rely on for "
+        "merging?\nAnswer:", task="generate")
+    assert "[2]" in ans and "[3]" not in ans

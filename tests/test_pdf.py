@@ -140,3 +140,33 @@ def test_document_processor_pdf_fallback(tmp_path):
     joined = " ".join(c["text"] if isinstance(c, dict) else str(c)
                       for c in out.get("chunks", [])) + str(out)
     assert "fused kernels" in joined or "fused kernels" in str(out)
+
+
+def test_tm_line_breaks_and_dehyphenation(tmp_path):
+    """LaTeX-class writers break lines with Tm (not Td): without a break
+    the last word of a line glues onto the first of the next
+    ("Integrationin" — observed on the reference's dw-grpo.pdf), and a
+    hyphenated wrap ("adap-" / "tive") must re-join."""
+    content = (b"BT /F1 12 Tf "
+               b"1 0 0 1 53.8 696.4 Tm [(Hierarchical)-250(Integration)] TJ "
+               b"1 0 0 1 207.6 676.4 Tm [(in)-250(Relevance)] TJ "
+               b"1 0 0 1 53.8 656.4 Tm (adap-) Tj "
+               b"1 0 0 1 53.8 636.4 Tm (tive retrieval) Tj "
+               b"ET")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(_minimal_pdf(content, compress=False))
+    text = extract_pdf_text(str(p))
+    assert "Integrationin" not in text          # Tm y-change = line break
+    assert "Integration" in text and "in Relevance" in text
+    assert "adaptive retrieval" in text         # de-hyphenated across wrap
+
+
+def test_tm_same_y_does_not_split_words(tmp_path):
+    """A same-y Tm (mid-line font switch / kerning reposition) must NOT
+    insert a break inside a word."""
+    content = (b"BT /F1 12 Tf "
+               b"1 0 0 1 53.8 696.4 Tm (speci) Tj "
+               b"1 0 0 1 80.0 696.4 Tm (fically) Tj ET")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(_minimal_pdf(content, compress=False))
+    assert "specifically" in extract_pdf_text(str(p))
