@@ -251,13 +251,27 @@ def run_sheet(agent, sheet: Optional[List[QAItem]] = None,
               verbose: bool = True, isolate_turns: bool = True) -> Dict:
     """``isolate_turns`` rotates the memory agent_id per question so one
     question's stored answer cannot surface in the next one's recall
-    retrieval (the validacao.md sheet is likewise independent probes)."""
+    retrieval (the validacao.md sheet is likewise independent probes),
+    and gives each question a fresh DW-GRPO weight manager so the
+    retrieval blend one question learned cannot shift the next one's
+    retrieved context — without this the sheet's result depends on
+    question order (observed: an off-topic probe refused in isolation
+    but answered mid-run under drifted weights)."""
     sheet = sheet or QA_SHEET
     base_id = getattr(agent.memory, "agent_id", "default")
+    base_wm = getattr(agent, "weight_manager", None)
     rows = []
     for item in sheet:
         if isolate_turns:
             agent.memory.agent_id = f"{base_id}-qa-{item.id}"
+            if base_wm is not None:
+                from optimized_rag_tpu.engine.adaptive import (
+                    DynamicWeightManager)
+                agent.weight_manager = DynamicWeightManager(
+                    agent_id=f"{base_id}-qa-{item.id}",
+                    learning_rate=base_wm.learning_rate,
+                    persist_every=base_wm.persist_every,
+                    enable_learning=base_wm.enable_learning, db=None)
         resp = agent.chat(item.question)
         ans = resp.answer or ""
         refused = bool(resp.refused) or bool(_NO_INFO.search(ans))
@@ -284,6 +298,8 @@ def run_sheet(agent, sheet: Optional[List[QAItem]] = None,
                   file=sys.stderr, flush=True)
     if isolate_turns:
         agent.memory.agent_id = base_id
+        if base_wm is not None:
+            agent.weight_manager = base_wm
     answerable = [r for r in rows if not r["unanswerable"]]
     unanswerable = [r for r in rows if r["unanswerable"]]
     with_cits = [r for r in rows if r["citations_valid"] is not None]

@@ -95,3 +95,28 @@ def test_pdf_sheet_hygiene():
             # the reference PDFs verbatim, must not contain them.
             assert key == key.lower(), (q.id, key)
             assert "fi" not in key and "fl" not in key, (q.id, key)
+
+
+def test_run_sheet_isolates_adaptive_weights():
+    """Each question must see a FRESH DW-GRPO weight manager: weights
+    learned from one question's feedback must not shift the retrieval
+    blend of the next (sheet results were question-order-dependent)."""
+    from optimized_rag_tpu.engine.adaptive import DynamicWeightManager
+
+    seen = []
+
+    class _Agent(_StubAgent):
+        def chat(self, question):
+            seen.append((self.weight_manager.agent_id,
+                         self.weight_manager.db))
+            return _resp("x")
+
+    agent = _Agent({})
+    base = DynamicWeightManager(agent_id="base", db=object())
+    agent.weight_manager = base
+    run_sheet(agent, sheet=[QAItem("i1", "q1", ["x"]),
+                            QAItem("i2", "q2", ["x"])], verbose=False)
+    ids = [s[0] for s in seen]
+    assert len(set(ids)) == 2 and "base" not in ids
+    assert all(db is None for _, db in seen)    # no cross-run persistence
+    assert agent.weight_manager is base         # restored after the run
