@@ -209,13 +209,22 @@ class DeterministicLLM:
 
     @classmethod
     def _stem(cls, w: str) -> str:
-        if w.endswith("ies") and len(w) >= 5:      # relies->rely
-            return w[:-3] + "y"
-        for suf in ("ings", "ions", "ing", "ion", "edly", "ed", "es",
-                    "s", "ly"):
-            if w.endswith(suf) and len(w) - len(suf) >= 3:
-                w = w[: -len(suf)]
-                break
+        if w.endswith("ies") and len(w) >= 5:      # applies -> apply
+            w = w[:-3] + "y"
+        else:
+            for suf in ("ings", "ions", "ing", "ion", "edly", "ed",
+                        "es", "s"):
+                if w.endswith(suf) and len(w) - len(suf) >= 3:
+                    w = w[: -len(suf)]
+                    break
+            # applied -> appli -> apply, so -ied/-ies/-y forms meet.
+            if len(w) > 3 and w[-1] == "i":
+                w = w[:-1] + "y"
+        # Adverb -ly (quickly -> quick) — but not the -ply verb family
+        # (apply, reply, supply), whose base ends in "ly" itself.
+        if w.endswith("ly") and not w.endswith("ply") \
+                and len(w) - 2 >= 3:
+            w = w[:-2]
         # Normalize inflection artifacts so base and derived forms meet:
         # scanning->scann->scan (vs scan), storing->stor (vs store->stor).
         if len(w) > 3 and w[-1] == w[-2] and w[-1] not in "aeiou0123456789":
@@ -263,12 +272,26 @@ class DeterministicLLM:
                                                   doc.strip())
                       if len(s.strip()) >= 3] for doc in docs]
         sent_words = [[words(s) for s in sents] for sents in doc_sents]
+        sent_sets = [[set(sw) for sw in sws] for sws in sent_words]
+        # Exact-duplicate sentences (ordinary chunk overlap replicates
+        # the same sentence into several retrieved chunks) are ONE
+        # sentence: keep the first occurrence and drop the rest from
+        # candidates and statistics, so scoring and the refusal bars
+        # are invariant to how many chunks happen to repeat a sentence.
+        seen_sent: set = set()
+        live = []                          # (doc_idx, sent_idx)
+        for i, sws in enumerate(sent_words):
+            for j, sw in enumerate(sws):
+                key = tuple(sw)
+                if key and key not in seen_sent:
+                    seen_sent.add(key)
+                    live.append((i, j))
 
         # Sentence-level IDF over the context: normalized so an
         # average-rarity query term contributes ~1.0, keeping the
         # min_score bar below in absolute units.
-        n_sents = sum(len(s) for s in sent_words) or 1
-        df = {t: sum(t in set(sw) for sws in sent_words for sw in sws)
+        n_sents = len(live) or 1
+        df = {t: sum(t in sent_sets[i][j] for i, j in live)
               for t in q_set}
         idf = {t: math.log((1.0 + n_sents) / (1.0 + df[t])) + 0.1
                for t in q_set}
@@ -281,9 +304,8 @@ class DeterministicLLM:
         if q_terms:
             w[q_terms[0]] = w.get(q_terms[0], 1.0) * 1.5
 
-        def score(sw):
+        def score(sw, s_set):
             """(weighted score, raw match count for the bar, signature)."""
-            s_set = set(sw)
             hits = q_set & s_set
             bi_hits = q_bigrams & set(zip(sw, sw[1:]))
             # A sentence that only echoes the query (e.g. the user's
@@ -302,19 +324,22 @@ class DeterministicLLM:
 
         cands = []               # (score, doc_idx, sent_idx, signature)
         best_raw = 0.0
+        best_weighted = 0.0      # BEFORE the redundancy split
         sig_count: Dict = {}
-        for i, sws in enumerate(sent_words):
-            for j, sw in enumerate(sws):
-                s, raw, sig = score(sw)
-                if s > 0:
-                    cands.append((s, i, j, sig))
-                    sig_count[sig] = sig_count.get(sig, 0) + 1
-                    best_raw = max(best_raw, raw)
+        for i, j in live:
+            s, raw, sig = score(sent_words[i][j], sent_sets[i][j])
+            if s > 0:
+                cands.append((s, i, j, sig))
+                sig_count[sig] = sig_count.get(sig, 0) + 1
+                best_raw = max(best_raw, raw)
+                best_weighted = max(best_weighted, s)
         # Redundancy: N sentences matching the query in the identical
         # way (same hit/bigram signature — running headers, a proposal
         # sentence restated in abstract+intro+conclusion) are one piece
         # of evidence, not N; split their credit so a uniquely-matching
-        # sentence can win.
+        # sentence can win. Ranking only: the refusal bars below use the
+        # pre-split maximum, so a good sentence duplicated by chunk
+        # overlap never flips an answer into a refusal.
         cands = [(s / math.sqrt(sig_count[sig]), i, j, sig)
                  for (s, i, j, sig) in cands]
         # Relevance bar: an off-topic question (the reference
@@ -325,11 +350,14 @@ class DeterministicLLM:
         # sentence carries little weighted evidence. Measured on the QA
         # sheet: off-topic winners ≤2.49 weighted at coverage ≤0.48;
         # legitimate answers ≥3.08 or coverage 1.0.
-        ctx_terms = {t for sws in sent_words for sw in sws for t in sw}
+        ctx_terms = set().union(*(sent_sets[i][j] for i, j in live)) \
+            if live else set()
         q_mass = sum(w[t] for t in q_set) or 1e-9
         qcov = sum(w[t] for t in q_set & ctx_terms) / q_mass
-        if len(q_set) >= 4 and cands \
-                and max(c[0] for c in cands) < 2.6 and qcov < 0.7:
+        # n_sents >= 8: in a tiny context every present term has df ~
+        # n_sents, idf degenerates and the weighted score means nothing.
+        if len(q_set) >= 4 and n_sents >= 8 \
+                and best_weighted < 2.6 and qcov < 0.7:
             cands = []
         # Minimum-evidence bar: a multi-term query whose best sentence
         # shares only one content word is off-topic context, not an

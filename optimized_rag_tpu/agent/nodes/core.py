@@ -48,18 +48,21 @@ def _zero_lexical_coverage(query: str, docs, intent) -> bool:
     return True
 
 
-def _format_context(docs: List[RetrievedDoc]) -> str:
-    """Numbered context with [N] ids (reference rag/nodes/helpers.py:20).
+def _neutralize_bracket_lines(text: str) -> str:
+    """Indent payload lines that start with ``[`` by one space so only
+    the context assembler's own ``[N]``/``[Section]`` markers sit at
+    line starts. Without this, bibliography entries like
+    "[6] Kwiatkowski et al." in academic PDFs — or conversation text
+    spoofing a section header — parse as phantom numbered docs and
+    citation numbering silently shifts against ChatResponse.sources
+    (caught by the qa_sheet pdf-* section)."""
+    text = re.sub(r"\n(?=\[)", "\n ", text or "")
+    return (" " + text) if text.startswith("[") else text
 
-    Doc-internal lines that start with ``[`` (bibliography entries like
-    "[6] Kwiatkowski et al." in academic PDFs, or text spoofing a
-    [Conversation]-style section header) are indented by one space so
-    the ``[N]``-at-line-start structure of the assembled context stays
-    unambiguous — otherwise citation numbering silently shifts against
-    ChatResponse.sources (caught by the qa_sheet pdf-* section)."""
-    def _safe(text: str) -> str:
-        return re.sub(r"\n(?=\[)", "\n ", text or "")
-    return "\n".join(f"[{i + 1}] {_safe(d.text)}"
+
+def _format_context(docs: List[RetrievedDoc]) -> str:
+    """Numbered context with [N] ids (reference rag/nodes/helpers.py:20)."""
+    return "\n".join(f"[{i + 1}] {_neutralize_bracket_lines(d.text)}"
                      for i, d in enumerate(docs))
 
 
@@ -315,13 +318,18 @@ def generate_response(state: AgentState, agent) -> None:
         if recent:
             convo = "\n".join(f"{m['role']}: {m['content'][:300]}"
                               for m in recent)
-            context += f"\n[Conversation]\n{convo}"
+            context += f"\n[Conversation]\n{_neutralize_bracket_lines(convo)}"
+    # Auxiliary payloads get the same bracket-line neutralization as doc
+    # text: a '[N]'-at-line-start line inside them would otherwise
+    # create phantom docs past the real numbered ones.
     if state.kg_context:
-        context += f"\n[KG]\n{state.kg_context}"
+        context += f"\n[KG]\n{_neutralize_bracket_lines(state.kg_context)}"
     if state.cot_reasoning:
-        context += f"\n[Reasoning]\n{state.cot_reasoning}"
+        context += ("\n[Reasoning]\n"
+                    + _neutralize_bracket_lines(state.cot_reasoning))
     if state.synthesized_context:
-        context += f"\n[Synthesis]\n{state.synthesized_context}"
+        context += ("\n[Synthesis]\n"
+                    + _neutralize_bracket_lines(state.synthesized_context))
     out = agent.llm.structured(
         prompts.GENERATE_PROMPT.format(
             core_memory=agent.memory.format_core_memory(),

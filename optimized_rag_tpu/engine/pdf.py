@@ -41,7 +41,7 @@ _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 _BRACKET_HEX = re.compile(rb"\[((?:\s*<[0-9A-Fa-f\s]*>\s*)+)\]")
-_TF_RE = re.compile(rb"/(\w+)\s+[\d.+-]+\s+Tf")
+_TF_RE = re.compile(rb"/(\w+)\s+([\d.+-]+)\s+Tf")
 
 _ESCAPES = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
             ord("b"): "\b", ord("f"): "\f", ord("("): "(",
@@ -193,6 +193,11 @@ def _extract_content_text(content: bytes,
     pending: List[str] = []     # strings awaiting their operator
     nums: List[float] = []      # recent numeric tokens (Tm operands)
     prev_ty: Optional[float] = None
+    font_size = 10.0            # tracked via Tf; scales the Tm threshold
+    line_font = 10.0            # max size on the current line: a
+    #                             superscript switches to a SMALLER font
+    #                             before its Tm, which must not shrink
+    #                             the line-break threshold
 
     def flush(op: bytes) -> None:
         nonlocal pending
@@ -221,6 +226,11 @@ def _extract_content_text(content: bytes,
             m = _TF_RE.match(content, i)
             if m:
                 cmap = font_maps.get(m.group(1))
+                try:
+                    font_size = abs(float(m.group(2))) or font_size
+                    line_font = max(line_font, font_size)
+                except ValueError:
+                    pass
                 i = m.end()
                 continue
             i += 1
@@ -234,13 +244,17 @@ def _extract_content_text(content: bytes,
             # Text-matrix reposition: LaTeX-class writers break lines
             # with `a b c d e f Tm` instead of Td — without this, the
             # last word of a line glues onto the first of the next
-            # ("Integrationin"). A y-translation change = new line; a
-            # same-y Tm (mid-line font switch / kerning) emits nothing.
+            # ("Integrationin"). Only a y-translation change bigger
+            # than ~half the font size is a new line: smaller shifts
+            # are superscript/subscript repositioning (footnote marks,
+            # exponents) that must NOT split the surrounding word.
             if len(nums) >= 6:
                 ty = nums[-1]
-                if prev_ty is not None and abs(ty - prev_ty) > 0.5:
+                if prev_ty is not None \
+                        and abs(ty - prev_ty) > 0.45 * line_font:
                     parts.append("\n")
                     pending = []
+                    line_font = font_size
                 prev_ty = ty
             nums = []
             i += 2

@@ -261,45 +261,50 @@ def run_sheet(agent, sheet: Optional[List[QAItem]] = None,
     base_id = getattr(agent.memory, "agent_id", "default")
     base_wm = getattr(agent, "weight_manager", None)
     rows = []
-    for item in sheet:
+    try:
+        for item in sheet:
+            if isolate_turns:
+                agent.memory.agent_id = f"{base_id}-qa-{item.id}"
+                if base_wm is not None:
+                    from optimized_rag_tpu.engine.adaptive import (
+                        DynamicWeightManager)
+                    agent.weight_manager = DynamicWeightManager(
+                        agent_id=f"{base_id}-qa-{item.id}",
+                        learning_rate=base_wm.learning_rate,
+                        window_size=base_wm.tracker.window_size,
+                        persist_every=base_wm.persist_every,
+                        enable_learning=base_wm.enable_learning, db=None)
+            resp = agent.chat(item.question)
+            ans = resp.answer or ""
+            refused = bool(resp.refused) or bool(_NO_INFO.search(ans))
+            if item.unanswerable:
+                correct = refused
+            else:
+                correct = (not refused) and any(
+                    e.lower() in ans.lower() for e in item.expect_any)
+            cit_ok = _citation_validity(ans, resp.sources or [])
+            rows.append({
+                "id": item.id, "question": item.question,
+                "answer": ans[:400], "correct": bool(correct),
+                "refused": bool(refused),
+                "unanswerable": item.unanswerable,
+                "citations_valid": cit_ok,
+                "support_ratio": float(resp.support_ratio),
+                "factuality": float(resp.factuality_score),
+                "confidence": float(resp.confidence),
+            })
+            if verbose:
+                mark = "ok " if correct else "MISS"
+                print(f"  [{mark}] {item.id}: refused={refused} "
+                      f"support={resp.support_ratio:.2f} cit={cit_ok}",
+                      file=sys.stderr, flush=True)
+    finally:
+        # A mid-sheet exception must not leave the caller's agent on a
+        # throwaway per-question memory id / weight manager.
         if isolate_turns:
-            agent.memory.agent_id = f"{base_id}-qa-{item.id}"
+            agent.memory.agent_id = base_id
             if base_wm is not None:
-                from optimized_rag_tpu.engine.adaptive import (
-                    DynamicWeightManager)
-                agent.weight_manager = DynamicWeightManager(
-                    agent_id=f"{base_id}-qa-{item.id}",
-                    learning_rate=base_wm.learning_rate,
-                    persist_every=base_wm.persist_every,
-                    enable_learning=base_wm.enable_learning, db=None)
-        resp = agent.chat(item.question)
-        ans = resp.answer or ""
-        refused = bool(resp.refused) or bool(_NO_INFO.search(ans))
-        if item.unanswerable:
-            correct = refused
-        else:
-            correct = (not refused) and any(
-                e.lower() in ans.lower() for e in item.expect_any)
-        cit_ok = _citation_validity(ans, resp.sources or [])
-        rows.append({
-            "id": item.id, "question": item.question,
-            "answer": ans[:400], "correct": bool(correct),
-            "refused": bool(refused),
-            "unanswerable": item.unanswerable,
-            "citations_valid": cit_ok,
-            "support_ratio": float(resp.support_ratio),
-            "factuality": float(resp.factuality_score),
-            "confidence": float(resp.confidence),
-        })
-        if verbose:
-            mark = "ok " if correct else "MISS"
-            print(f"  [{mark}] {item.id}: refused={refused} "
-                  f"support={resp.support_ratio:.2f} cit={cit_ok}",
-                  file=sys.stderr, flush=True)
-    if isolate_turns:
-        agent.memory.agent_id = base_id
-        if base_wm is not None:
-            agent.weight_manager = base_wm
+                agent.weight_manager = base_wm
     answerable = [r for r in rows if not r["unanswerable"]]
     unanswerable = [r for r in rows if r["unanswerable"]]
     with_cits = [r for r in rows if r["citations_valid"] is not None]
@@ -348,8 +353,17 @@ def main(argv=None) -> int:
     result = run_sheet(agent, sheet=sheet)
     pdf_rows = [r for r in result["rows"] if r["id"].startswith("pdf-")]
     if pdf_rows:
+        # Split like the main summary: answer accuracy on answerable
+        # questions, refusal correctness on the off-topic probes —
+        # one blended number can't distinguish a wrong answer from a
+        # wrongly-answered probe.
+        pdf_ans = [r for r in pdf_rows if not r["unanswerable"]]
+        pdf_probes = [r for r in pdf_rows if r["unanswerable"]]
         result["summary"]["pdf_accuracy"] = (
-            sum(r["correct"] for r in pdf_rows) / len(pdf_rows))
+            sum(r["correct"] for r in pdf_ans) / max(len(pdf_ans), 1))
+        result["summary"]["pdf_probes_refused"] = (
+            sum(r["correct"] for r in pdf_probes)
+            / max(len(pdf_probes), 1))
         result["summary"]["pdf_n"] = len(pdf_rows)
     s = result["summary"]
     print(json.dumps(s, indent=2))

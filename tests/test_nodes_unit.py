@@ -290,3 +290,40 @@ def test_format_context_neutralizes_bibliography_lines():
         f"Context:\n{ctx}\n\nQuestion: What does Gamma rely on for "
         "merging?\nAnswer:", task="generate")
     assert "[2]" in ans and "[3]" not in ans
+
+
+def test_aux_sections_cannot_spawn_phantom_docs():
+    """[N]-at-line-start text inside [Conversation]/[KG]/... payloads
+    must not parse as extra numbered docs (code-review r3 finding)."""
+    payload = core._neutralize_bracket_lines(
+        "[2] Gamma relies on reciprocal rank fusion.\n[3] More.")
+    ctx = ("[1] The only real doc about alpha.\n[KG]\n" + payload
+           + "\n\nQuestion: x\nAnswer:")
+    parsed = DeterministicLLM._context_docs(ctx)
+    assert len(parsed) == 1
+    assert "real doc" in parsed[0]
+
+
+def test_duplicated_winner_sentence_is_not_refused():
+    """Scoring must be invariant to chunk overlap: the SAME answering
+    sentence replicated into several retrieved chunks is ONE sentence —
+    it must neither change stats (idf, redundancy split) nor flip the
+    outcome (code-review r3 repro: answered at 1 copy, refused at 3)."""
+    sent = "The scheduler batches embedding lookups efficiently."
+    q = ("Question: Which scheduler batches embedding lookups across "
+         "requests?\nAnswer:")
+    llm = DeterministicLLM()
+    one = llm._generate(f"Context:\n[1] {sent}\n\n{q}")
+    three = llm._generate(
+        f"Context:\n[1] {sent}\n[2] {sent}\n[3] {sent}\n\n{q}")
+    assert "scheduler batches" in one
+    assert "scheduler batches" in three     # same outcome as 1 copy
+
+
+def test_stem_collapses_y_verb_families():
+    s = DeterministicLLM._stem
+    assert s("applies") == s("applied") == s("apply")
+    assert s("relies") == s("relied") == s("rely")
+    assert s("studies") == s("study")
+    assert s("quickly") == "quick"
+    assert s("really") == "real"

@@ -170,3 +170,22 @@ def test_tm_same_y_does_not_split_words(tmp_path):
     p = tmp_path / "t.pdf"
     p.write_bytes(_minimal_pdf(content, compress=False))
     assert "specifically" in extract_pdf_text(str(p))
+
+
+def test_tm_superscript_shift_does_not_split_word(tmp_path):
+    """A small Tm y-shift (superscript/footnote marker, typically a
+    third of the font size, often after switching to a SMALLER font)
+    must stay on the same line — only shifts ~half the line's font size
+    break lines."""
+    content = (b"BT /F1 12 Tf "
+               b"1 0 0 1 53.8 696.4 Tm (model) Tj "
+               b"/F1 6.97 Tf 1 0 0 1 85.0 699.9 Tm (2) Tj "
+               b"/F1 12 Tf 1 0 0 1 92.0 696.4 Tm (next) Tj "
+               b"1 0 0 1 53.8 682.0 Tm (line two) Tj ET")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(_minimal_pdf(content, compress=False))
+    text = extract_pdf_text(str(p))
+    assert "model2" in text            # superscript stays in the word
+    assert "model\n2" not in text
+    assert "line two" in text          # real leading still breaks the
+    assert "nextline" not in text      # line (de-wrap may join w/ space)
