@@ -635,6 +635,47 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     return out_s, jnp.concatenate([out_i, count_row], axis=0)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sub_batch", "tile", "groups",
+                                    "interpret", "precision",
+                                    "union_tiles", "pad_r"))
+def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
+                                k: int, size: jax.Array | int | None = None,
+                                sub_batch: int = 1024, tile: int = 4096,
+                                groups: int = 8, union_tiles: int = 32,
+                                pad_r: int | None = None,
+                                interpret: bool = False, precision=None):
+    """``pallas_topk_certified`` over M sub-batches in ONE dispatch.
+
+    Through the tunneled runtime every dispatch pays a ~31 ms host
+    round trip (docs/RESULTS_r3.md: 10M and 16.7M corpora both floor at
+    ~31.5 ms/batch at B=512 — the relay, not compute, binds), and VMEM
+    caps the per-call batch at ~1024. This variant runs an XLA-level
+    ``lax.map`` over [M, sub_batch, D] query blocks inside one jit:
+    VMEM usage stays at the sub-batch level while M blocks amortize a
+    single dispatch. Returns the same ([M*B, k] scores,
+    [M*B+1, k] ids-with-certificate-row) contract as the single-batch
+    kernel; the certificate row sums uncovered counts across blocks
+    (0 still means every block is proven exact).
+    """
+    mb, d = queries.shape
+    assert mb % sub_batch == 0, (mb, sub_batch)
+    m = mb // sub_batch
+
+    def one(q):
+        return pallas_topk_certified(
+            q, corpus, k, size, tile=tile, groups=groups,
+            union_tiles=union_tiles, pad_r=pad_r, interpret=interpret,
+            precision=precision)
+
+    s, i = jax.lax.map(one, queries.reshape(m, sub_batch, d))
+    scores = s.reshape(mb, k)
+    ids = i[:, :sub_batch, :].reshape(mb, k)
+    uncovered = jnp.sum(i[:, sub_batch, 0]).astype(jnp.int32)
+    count_row = jnp.zeros((1, k), jnp.int32).at[0, 0].set(uncovered)
+    return scores, jnp.concatenate([ids, count_row], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def rescore_topk(queries: jax.Array, corpus: jax.Array,
                  cand_ids: jax.Array, k: int):

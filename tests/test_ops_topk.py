@@ -346,3 +346,43 @@ def test_dispatch_batch_union_fallback_stays_exact(rng):
     s, i = topk_mod.dispatch_topk(jnp.asarray(q), jnp.asarray(c), 10,
                                   prefer_pallas=True, tile=128)
     _check(s, np.asarray(i), oracle_s, oracle_i)
+
+
+def test_certified_multi_matches_single_dispatch(rng):
+    """One-dispatch multi-batch wrapper: M sub-batches through lax.map
+    must return exactly what M separate certified calls return, with
+    the certificate row summed across blocks."""
+    from optimized_rag_tpu.ops.topk import (
+        pallas_topk_certified, pallas_topk_certified_multi)
+    q, c = _make(rng, b=12, n=128 * 40, d=64)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, packed = pallas_topk_certified_multi(
+        jnp.asarray(q), jnp.asarray(c), 10, sub_batch=4,
+        tile=128, interpret=True)
+    packed = np.asarray(packed)
+    assert s.shape == (12, 10) and packed.shape == (13, 10)
+    assert packed[-1, 0] == 0
+    _check(s, packed[:-1], oracle_s, oracle_i)
+    # block-for-block identical to the single-batch kernel
+    for blk in range(3):
+        s1, p1 = pallas_topk_certified(
+            jnp.asarray(q[4 * blk:4 * blk + 4]), jnp.asarray(c), 10,
+            tile=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(s1),
+                                   np.asarray(s)[4 * blk:4 * blk + 4])
+        assert (np.asarray(p1)[:-1]
+                == packed[4 * blk:4 * blk + 4]).all()
+
+
+def test_certified_multi_with_padding_size(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_certified_multi
+    q, c = _make(rng, b=8, n=128 * 16, d=64)
+    live = 128 * 16 - 77                    # padded tail must never win
+    oracle_s, oracle_i = _oracle_topk(q, c[:live], 10)
+    s, packed = pallas_topk_certified_multi(
+        jnp.asarray(q), jnp.asarray(c), 10, size=live, sub_batch=4,
+        tile=128, interpret=True)
+    packed = np.asarray(packed)
+    assert packed[-1, 0] == 0
+    assert (packed[:-1] < live).all()
+    _check(s, packed[:-1], oracle_s, oracle_i)
