@@ -169,6 +169,46 @@ def main() -> None:
         f" -> {dev_qps:.0f} qps "
         f"({N * D * 2 / dev_s / 1e9:.0f} GB/s effective)")
 
+    # Multi-batch single-dispatch probe: lax.map over M sub-batches of
+    # B_HEAD inside ONE jit call — VMEM stays at the sub-batch level
+    # while M blocks amortize the ~31 ms tunnel dispatch floor (the
+    # round-3 binding constraint). If it wins certified-exact, it IS
+    # the headline: same kernel, same certificate, better dispatch
+    # amortization.
+    b_eff, eff_sync_s, eff_dev_s, eff_unc = B_HEAD, sync_s, dev_s, uncovered
+    multi: dict = {}
+    if on_tpu:
+        try:
+            from optimized_rag_tpu.ops.topk import (
+                pallas_topk_certified_multi)
+            M = 4
+            qmb = qbatches(M * B_HEAD, n=2)
+
+            def exact_multi(qq):
+                s, packed = pallas_topk_certified_multi(
+                    qq, corpus, K, sub_batch=B_HEAD, tile=TILE, groups=8)
+                return s, packed[:-1], packed[-1:]
+
+            _, _, cov_m = exact_multi(qmb[0])
+            unc_m = int(np.asarray(cov_m)[0, 0])
+            sync_m = timed_sync(exact_multi, qmb, iters=6)
+            pipe_m = timed_pipe(exact_multi, qmb, iters=12)
+            multi_qps = M * B_HEAD / pipe_m
+            log(f"EXACT multi m={M} (b{M * B_HEAD} single-dispatch): sync "
+                f"{sync_m * 1e3:.2f} ms; pipelined {pipe_m * 1e3:.2f} ms "
+                f"-> {multi_qps:.0f} qps, uncovered={unc_m}")
+            multi = {"multi_m": M,
+                     "multi_qps": round(multi_qps, 1),
+                     "multi_pipelined_batch_ms": round(pipe_m * 1e3, 2),
+                     "multi_uncovered": unc_m}
+            if unc_m == 0 and multi_qps > dev_qps:
+                b_eff = M * B_HEAD
+                eff_sync_s, eff_dev_s, eff_unc = sync_m, pipe_m, unc_m
+                dev_qps = multi_qps
+                log(f"headline -> multi-batch config b{b_eff}")
+        except Exception as exc:   # never sink the single-batch metric
+            log(f"multi-batch probe failed: {exc!r}")
+
     # Comparability: same kernel at the round-1/2 batch size.
     sync512_s = timed_sync(exact, q512)
     dev512_s = timed_pipe(exact, q512)
@@ -245,16 +285,19 @@ def main() -> None:
         log(f"serving probe failed: {exc!r}")
 
     print(json.dumps({
-        "metric": f"dense_topk_qps_10M_{D}d_b{B_HEAD}",
+        "metric": f"dense_topk_qps_10M_{D}d_b{b_eff}",
         "value": round(dev_qps, 1),
         "unit": "qps/chip",
         "vs_baseline": round(dev_qps / cpu_qps, 1),
         "mode": "exact (certified: rescue+rescan covers, counter-verified)",
-        "exactness_uncovered": uncovered,
-        "recall_at_10": 1.0 if uncovered == 0 else None,
-        "p50_batch_ms": round(sync_s * 1e3, 2),
-        "pipelined_batch_ms": round(dev_s * 1e3, 2),
-        "sync_qps": round(B_HEAD / sync_s, 1),
+        "exactness_uncovered": eff_unc,
+        "recall_at_10": 1.0 if eff_unc == 0 else None,
+        "p50_batch_ms": round(eff_sync_s * 1e3, 2),
+        "pipelined_batch_ms": round(eff_dev_s * 1e3, 2),
+        "sync_qps": round(b_eff / eff_sync_s, 1),
+        "b1024_qps": round(B_HEAD / dev_s, 1),
+        "b1024_pipelined_batch_ms": round(dev_s * 1e3, 2),
+        "b1024_uncovered": uncovered,
         "b512_qps": round(B_CMP / dev512_s, 1),
         "b512_pipelined_batch_ms": round(dev512_s * 1e3, 2),
         "b512_uncovered": uncovered512,
@@ -265,6 +308,7 @@ def main() -> None:
         "cpu_full_corpus_s_per_query": round(full_s, 2) if full_s else None,
         "corpus": f"{N}x{D} bf16",
         "backend": backend,
+        **multi,
         **serving,
     }))
 
