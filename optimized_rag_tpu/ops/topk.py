@@ -737,8 +737,19 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
         if n // tile >= 64 * k:
             # Extraction-bound regime: packed single-pass extraction with
             # certified exactness; counter rides in the ids buffer.
-            scores, packed = pallas_topk_certified(
-                queries, corpus, k, size, tile=tile, interpret=not on_tpu)
+            # Very large query batches run M sub-batches inside ONE
+            # dispatch (VMEM caps a single call at ~1k queries; the
+            # per-dispatch round trip is the binding cost through a
+            # tunneled runtime).
+            b = queries.shape[0]
+            if b >= 2048 and b % 1024 == 0:
+                scores, packed = pallas_topk_certified_multi(
+                    queries, corpus, k, size, sub_batch=1024, tile=tile,
+                    interpret=not on_tpu)
+            else:
+                scores, packed = pallas_topk_certified(
+                    queries, corpus, k, size, tile=tile,
+                    interpret=not on_tpu)
             if defer_certificate:
                 return scores, packed
             if certificate_uncovered(packed) == 0:

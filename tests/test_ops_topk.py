@@ -386,3 +386,29 @@ def test_certified_multi_with_padding_size(rng):
     assert packed[-1, 0] == 0
     assert (packed[:-1] < live).all()
     _check(s, packed[:-1], oracle_s, oracle_i)
+
+
+def test_dispatch_routes_large_batches_to_multi(monkeypatch):
+    """dispatch_topk sends B>=2048 (multiple of 1024) through the
+    single-dispatch multi-batch kernel and smaller batches through the
+    plain certified kernel."""
+    from optimized_rag_tpu.ops import topk as T
+    calls = {}
+
+    def fake(name):
+        def _f(q, c, k, size=None, **kw):
+            calls[name] = (tuple(q.shape), kw.get("sub_batch"))
+            return (jnp.zeros((q.shape[0], k), jnp.float32),
+                    jnp.zeros((q.shape[0] + 1, k), jnp.int32))
+        return _f
+
+    monkeypatch.setattr(T, "pallas_topk_certified_multi", fake("multi"))
+    monkeypatch.setattr(T, "pallas_topk_certified", fake("single"))
+    c = jnp.zeros((2560, 8), jnp.float32)
+    s, ids = T.dispatch_topk(jnp.zeros((2048, 8), jnp.float32), c, 4,
+                             prefer_pallas=True, tile=4)
+    assert calls.pop("multi") == ((2048, 8), 1024)
+    assert ids.shape == (2048, 4)          # certificate row stripped
+    T.dispatch_topk(jnp.zeros((512, 8), jnp.float32), c, 4,
+                    prefer_pallas=True, tile=4)
+    assert calls.pop("single")[0] == (512, 8)
