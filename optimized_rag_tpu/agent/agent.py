@@ -240,6 +240,13 @@ class RAGAgent:
         self.temporal_validator = TemporalValidator()
         self.calibrator = ConfidenceCalibrator()
 
+        # Host-side shared-state guard for concurrent chat turns
+        # (server.concurrent_chat widens the chat lock to a semaphore;
+        # DW-GRPO feedback, memory appends, and daily metrics are cheap
+        # host ops that must still serialize — ADVICE r3).
+        import threading
+        self.mutate_lock = threading.RLock()
+
         # Observability (SURVEY.md §5: per-stage tracing, absent in the
         # reference beyond ad-hoc logs).
         import os
@@ -564,16 +571,18 @@ class RAGAgent:
             1.0 - state.uncertainty, state.support_ratio,
             had_contradictions=bool(
                 state.consistency.get("contradictions")))
-        # Feed DW-GRPO (reference adaptive_weights.py:433).
+        # Feed DW-GRPO (reference adaptive_weights.py:433). Serialized:
+        # concurrent turns share the tracker's sliding window.
         if self.weight_manager is not None and state.retrieval_weights:
             quality = state.factuality_score if not state.refused else 0.0
-            self.weight_manager.record_feedback(
-                state.retrieval_weights, quality,
-                intent=getattr(state.query_intent, "value", None),
-                complexity=self.weight_manager.feature_extractor.
-                extract_complexity(user_input,
-                                   getattr(state.query_intent, "value",
-                                           None)))
+            with self.mutate_lock:
+                self.weight_manager.record_feedback(
+                    state.retrieval_weights, quality,
+                    intent=getattr(state.query_intent, "value", None),
+                    complexity=self.weight_manager.feature_extractor.
+                    extract_complexity(user_input,
+                                       getattr(state.query_intent, "value",
+                                               None)))
         resp = ChatResponse(
             answer=state.response,
             citations=state.citations,

@@ -8,8 +8,11 @@ behavior citations are on each function.
 
 from __future__ import annotations
 
+import contextlib
 import re
 import time
+
+_NULL_CTX = contextlib.nullcontext()
 from typing import List
 
 
@@ -489,9 +492,14 @@ def process_tool_calls(state: AgentState, agent) -> None:
 
 def update_memory(state: AgentState, agent) -> None:
     """Persist messages; extract durable facts into core memory (reference
-    rag/nodes/update_memory.py:17-91)."""
-    agent.memory.save_message("user", state.user_input)
-    agent.memory.save_message("assistant", state.response)
+    rag/nodes/update_memory.py:17-91). Memory appends serialize across
+    concurrent chat turns (agent.mutate_lock) so recall ordering and the
+    archival index never interleave mid-write."""
+    lock = getattr(agent, "mutate_lock", None)
+    ctx = lock if lock is not None else _NULL_CTX
+    with ctx:
+        agent.memory.save_message("user", state.user_input)
+        agent.memory.save_message("assistant", state.response)
     if agent.settings.flags.enable_memory_fact_extraction \
             and state.query_intent not in (Intent.SEARCH,
                                            Intent.INSTRUCTION):
@@ -499,8 +507,10 @@ def update_memory(state: AgentState, agent) -> None:
             prompts.FACT_EXTRACTION_PROMPT.format(
                 user=state.user_input, assistant=state.response),
             task="extract_facts")
-        for line in raw.splitlines():
-            fact = line.strip().lstrip("-• ").strip()
-            if fact and fact.upper() != "NONE" and len(fact) > 5:
-                agent.memory.add_core_fact(fact)
+        facts = [line.strip().lstrip("-• ").strip()
+                 for line in raw.splitlines()]
+        with ctx:
+            for fact in facts:
+                if fact and fact.upper() != "NONE" and len(fact) > 5:
+                    agent.memory.add_core_fact(fact)
     state.metrics["finished_at"] = time.time()

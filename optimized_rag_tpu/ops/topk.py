@@ -713,7 +713,15 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
 
     EXACT by default at every scale: large corpora route to
     ``pallas_topk_certified`` (single-pass packed extraction + certified
-    rescue/rescan covers), small ones to the plain exact kernel. Pass
+    rescue/rescan covers), small ones to the plain exact kernel.
+
+    Precondition for the certified path: cosine-normalized inputs
+    (every |score| <= ~1). The packed kernel shifts scores by +2.0 and
+    clamps at 0, so a row scoring <= -2.0 would alias the padding value
+    and be silently excluded while the certificate still reads exact.
+    Every in-repo caller normalizes (DenseIndex, retriever, encoder
+    outputs); pass raw unnormalized embeddings at your own risk or use
+    ``approx_tile_k=None, prefer_pallas=False`` for the plain path. Pass
     ``approx_tile_k`` (e.g. 2) to explicitly opt into unverified
     approximate extraction — recall can drop when >approx_tile_k true
     top-k rows share one corpus tile, which is the common case for
@@ -742,10 +750,24 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
             # per-dispatch round trip is the binding cost through a
             # tunneled runtime).
             b = queries.shape[0]
-            if b >= 2048 and b % 1024 == 0:
+            if b > 1024:
+                # VMEM caps a single certified call at ~1024 queries
+                # ([B, tile] f32 score block); anything larger MUST go
+                # through the multi-dispatch, padded to a whole number of
+                # sub-batches (zero queries are valid unit vectors' duals:
+                # they score the +2.0 shift uniformly and are sliced off).
+                pad = (-b) % 1024
+                q_run = (jnp.concatenate(
+                    [queries, jnp.zeros((pad, queries.shape[1]),
+                                        queries.dtype)], axis=0)
+                    if pad else queries)
                 scores, packed = pallas_topk_certified_multi(
-                    queries, corpus, k, size, sub_batch=1024, tile=tile,
+                    q_run, corpus, k, size, sub_batch=1024, tile=tile,
                     interpret=not on_tpu)
+                if pad:
+                    scores = scores[:b]
+                    packed = jnp.concatenate([packed[:b], packed[-1:]],
+                                             axis=0)
             else:
                 scores, packed = pallas_topk_certified(
                     queries, corpus, k, size, tile=tile,

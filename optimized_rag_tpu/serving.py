@@ -105,9 +105,30 @@ class EmbedBatcher:
             return self.encode_fn(texts)
         req = _EmbedReq(list(texts))
         self._q.put(req)
-        return req.future.result()
+        try:
+            # Bounded wait: generous enough for a cold XLA compile, but a
+            # stop() racing this enqueue (request put after the drain) must
+            # not hang the caller forever — fall back to a direct call.
+            return req.future.result(timeout=600.0)
+        except TimeoutError:
+            return self.encode_fn(texts)
 
     def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        except BaseException as exc:  # worker death must not strand callers
+            self._running = False
+            while True:
+                try:
+                    req = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None and not req.future.done():
+                    req.future.set_exception(
+                        RuntimeError(f"EmbedBatcher worker died: {exc!r}"))
+            raise
+
+    def _loop_inner(self) -> None:
         while self._running:
             first = self._q.get()
             if first is None:
@@ -146,14 +167,19 @@ class EmbedBatcher:
             self.stats["texts"] += len(all_texts)
             self.stats["max_coalesced"] = max(self.stats["max_coalesced"],
                                               len(batch))
-        # Drain anything left after stop so callers never hang.
+        # Drain anything left after stop so callers never hang; a
+        # descriptive error beats a bare CancelledError for the racing
+        # enqueuer (ADVICE r3).
         while True:
             try:
                 req = self._q.get_nowait()
             except queue.Empty:
                 break
-            if req is not None:
-                req.future.cancel()
+            if req is not None and not req.future.done():
+                req.future.set_exception(
+                    RuntimeError("EmbedBatcher stopped while the request "
+                                 "was queued; retry or call the encode "
+                                 "function directly"))
 
 
 class QueryServer:

@@ -412,3 +412,31 @@ def test_dispatch_routes_large_batches_to_multi(monkeypatch):
     T.dispatch_topk(jnp.zeros((512, 8), jnp.float32), c, 4,
                     prefer_pallas=True, tile=4)
     assert calls.pop("single")[0] == (512, 8)
+
+
+def test_dispatch_pads_awkward_large_batches_to_multi(monkeypatch):
+    """B in (1024, 2048) or not divisible by 1024 must NOT hit the
+    single certified kernel (its [B, tile] VMEM block caps B at ~1024,
+    ADVICE r3 medium): it pads up to whole sub-batches, routes through
+    the multi kernel, and slices the pad back off."""
+    from optimized_rag_tpu.ops import topk as T
+    calls = {}
+
+    def fake(name):
+        def _f(q, c, k, size=None, **kw):
+            calls[name] = (tuple(q.shape), kw.get("sub_batch"))
+            return (jnp.zeros((q.shape[0], k), jnp.float32),
+                    jnp.zeros((q.shape[0] + 1, k), jnp.int32))
+        return _f
+
+    monkeypatch.setattr(T, "pallas_topk_certified_multi", fake("multi"))
+    monkeypatch.setattr(T, "pallas_topk_certified", fake("single"))
+    c = jnp.zeros((2560, 8), jnp.float32)
+    for b in (1536, 2304, 1025):
+        s, ids = T.dispatch_topk(jnp.zeros((b, 8), jnp.float32), c, 4,
+                                 prefer_pallas=True, tile=4)
+        padded = ((b + 1023) // 1024) * 1024
+        assert calls.pop("multi") == ((padded, 8), 1024), b
+        assert "single" not in calls
+        assert s.shape == (b, 4)
+        assert ids.shape == (b, 4), "pad sliced, certificate row stripped"
