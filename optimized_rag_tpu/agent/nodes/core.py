@@ -35,20 +35,25 @@ _STOPWORDS = frozenset(
     "being not no i you he she we they me him her us them my your".split())
 
 
+def _lexical_coverage(query: str, docs) -> float:
+    """Best per-doc fraction of the query's content terms present."""
+    terms = {w for w in re.findall(r"[a-z0-9]+", query.lower())
+             if w not in _STOPWORDS and len(w) > 2}
+    if not terms:
+        return 1.0
+    best = 0.0
+    for d in docs:
+        text = (d.text or "").lower()
+        best = max(best, sum(t in text for t in terms) / len(terms))
+    return best
+
+
 def _zero_lexical_coverage(query: str, docs, intent) -> bool:
     """True when no content word of a factual query appears in any doc."""
     iv = getattr(intent, "value", intent) or ""
     if iv in ("conversational", "clarification", "task_execution"):
         return False
-    terms = {w for w in re.findall(r"[a-z0-9]+", query.lower())
-             if w not in _STOPWORDS and len(w) > 2}
-    if not terms:
-        return False
-    for d in docs:
-        text = (d.text or "").lower()
-        if any(t in text for t in terms):
-            return False
-    return True
+    return _lexical_coverage(query, docs) == 0.0
 
 
 def _neutralize_bracket_lines(text: str) -> str:
@@ -217,9 +222,17 @@ def rerank_and_eval(state: AgentState, agent) -> None:
     state.semantic_confidence = ev["relevance"]
 
     # Zero-relevance early exit vs CROSS_ENCODER_SCORE_THRESHOLD=0.15
-    # (reference :201-211).
+    # (reference :201-211). The reference trusts the raw threshold
+    # because ms-marco-MiniLM sigmoid scores are calibrated to it; the
+    # on-device cross-encoder is trained from scratch and scores
+    # out-of-domain pairs near zero even for lexically perfect answers
+    # (measured: 0.079 on a single-doc corpus whose doc contains the
+    # literal answer). Require lexical corroboration before dropping
+    # everything: a sub-threshold rerank where most query terms DO
+    # appear in a doc is a calibration artifact, not garbage retrieval.
     thr = agent.settings.rerank.cross_encoder_threshold
-    if all((d.rerank_score or d.score) < thr for d in docs):
+    if all((d.rerank_score or d.score) < thr for d in docs) \
+            and _lexical_coverage(query, docs) < 0.34:
         state.rag_context = []
         state.relevance_score = 0.0
         return

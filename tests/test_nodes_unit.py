@@ -90,6 +90,49 @@ def test_rerank_and_eval_empty_context_noop(agent):
     assert st.relevance_score == 0.0
 
 
+def test_rerank_early_exit_needs_lexical_miss_too(agent):
+    """A sub-threshold cross-encoder score alone must NOT drop docs
+    whose text covers the query's content terms: the on-device
+    cross-encoder scores out-of-domain pairs near zero even for
+    lexically perfect answers (regression: single-doc corpus refusal)."""
+    st = _state(q="what does the alpha system use for multiplication?")
+    st.query_intent = Intent.QUESTION_ANSWERING
+    doc = RetrievedDoc(doc_id=0, score=0.4, text=(
+        "The alpha system uses a systolic array for multiplication."))
+    doc.rerank_score = 0.01          # below cross_encoder_threshold
+    st.rag_context = [doc]
+    fe, agent.fused_eval = agent.fused_eval, None   # deterministic path
+    try:
+        import unittest.mock as mock
+        with mock.patch.object(agent.reranker, "rerank",
+                               side_effect=lambda q, d, i: d), \
+             mock.patch.object(agent.reranker, "apply_mmr",
+                               side_effect=lambda d, k, lam: d):
+            core.rerank_and_eval(st, agent)
+    finally:
+        agent.fused_eval = fe
+    assert st.rag_context, "lexically covered doc must survive"
+    # ...while an off-topic sub-threshold retrieval still exits early.
+    st2 = _state(q="what is the capital of the northern kingdom?")
+    st2.query_intent = Intent.QUESTION_ANSWERING
+    doc2 = RetrievedDoc(doc_id=0, score=0.4,
+                        text="The MXU multiplies matrices on the chip.")
+    doc2.rerank_score = 0.01
+    st2.rag_context = [doc2]
+    fe, agent.fused_eval = agent.fused_eval, None
+    try:
+        import unittest.mock as mock
+        with mock.patch.object(agent.reranker, "rerank",
+                               side_effect=lambda q, d, i: d), \
+             mock.patch.object(agent.reranker, "apply_mmr",
+                               side_effect=lambda d, k, lam: d):
+            core.rerank_and_eval(st2, agent)
+    finally:
+        agent.fused_eval = fe
+    assert not st2.rag_context
+    assert st2.relevance_score == 0.0
+
+
 def test_chain_of_thought_writes_reasoning(agent):
     st = _state()
     st.rag_context = [RetrievedDoc(doc_id=0, score=0.9, text="MXU doc")]
