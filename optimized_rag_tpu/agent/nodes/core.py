@@ -108,8 +108,13 @@ def rewrite_query(state: AgentState, agent) -> None:
 
 
 def _is_non_english(text: str) -> bool:
-    """Heuristic language check (reference uses langdetect,
-    helpers.py:605; unavailable here)."""
+    """Language gate (reference uses langdetect, helpers.py:605).
+    Stopword/diacritic identifier covering pt/es/fr/de (utils/lang.py),
+    backed by the round-2 non-ASCII-ratio + PT-hint heuristics so
+    short accented fragments still route to translation."""
+    from optimized_rag_tpu.utils.lang import is_non_english
+    if is_non_english(text):
+        return True
     non_ascii = len(_NON_ASCII.findall(text))
     return non_ascii / max(len(text), 1) > 0.05 or \
         bool(_PT_HINTS.search(text))

@@ -198,6 +198,49 @@ PDF_SHEET: List[QAItem] = [
            unanswerable=True),
 ]
 
+# Cross-lingual section (VERDICT r3 next #4b): Portuguese questions over
+# the same ENGLISH fixture corpus — the reference instrument validacao.md
+# is bilingual for exactly this flow. Runs through the ONLINE provider
+# path (OpenAICompatibleLLM against eval/llm_endpoint.MockOpenAIServer,
+# whose scripted instruction follower actually translates), so it
+# measures the full translate -> retrieve -> generate -> verify pipeline
+# over real loopback HTTP. Expected keys stay English: answers are
+# extracted from the English docs.
+PT_SHEET: List[QAItem] = [
+    QAItem("pt-hw-mxu", "Qual é o tamanho da unidade de matriz da TPU?",
+           ["128 by 128", "128x128", "128 × 128"],
+           source_hint="tpu_hardware"),
+    QAItem("pt-hw-vmem", "Quanta memória vetorial tem um núcleo da TPU?",
+           ["16 megabytes", "16 mb"], source_hint="tpu_hardware"),
+    QAItem("pt-hw-bf16",
+           "Por que armazenar incorporações em bfloat16 para varredura?",
+           ["halves the bytes", "doubles the achievable scan"],
+           source_hint="tpu_hardware"),
+    QAItem("pt-dr-cosine",
+           "Quando a similaridade de cosseno é igual ao produto escalar?",
+           ["normalized to unit length", "unit length"],
+           source_hint="dense_retrieval"),
+    QAItem("pt-dr-ivf", "Como o índice IVF reduz o custo de busca?",
+           ["nprobe closest clusters", "k-means centroids",
+            "partitions the corpus into clusters"],
+           source_hint="dense_retrieval"),
+    QAItem("pt-mt-kinds", "Quais são os três tipos de memória do agente?",
+           ["core memory", "archival", "recall"],
+           source_hint="memory_tiers"),
+    QAItem("pt-ing-chunk",
+           "Qual é o tamanho padrão do fragmento e a sobreposição?",
+           ["1200 characters", "overlap of 150"], source_hint="ingestion"),
+    QAItem("pt-vf-support",
+           "Qual razão de suporte uma resposta deve atingir para ser "
+           "aceita?", ["0.70"], source_hint="verification"),
+    # Unanswerable PT probes — refusal is the correct outcome.
+    QAItem("pt-un-capital", "Qual é a capital da Austrália?",
+           unanswerable=True),
+    QAItem("pt-un-nobel",
+           "Quem ganhou o Prêmio Nobel de Física em 1921?",
+           unanswerable=True),
+]
+
 _NO_INFO = re.compile(
     r"(don't|do not|does not) have (enough|sufficient) information"
     r"|cannot answer|no relevant", re.IGNORECASE)
@@ -232,15 +275,18 @@ def _citation_validity(answer: str, sources: List[Dict]) -> Optional[bool]:
 
 
 def build_agent(local_lm: bool = False, data_dir: Optional[str] = None,
-                extra_docs: Optional[str] = None, settings=None):
-    """Fresh agent over the fixture corpus (plus an optional extra dir)."""
+                extra_docs: Optional[str] = None, settings=None,
+                online: bool = False):
+    """Fresh agent over the fixture corpus (plus an optional extra dir).
+    ``online=True`` lets the CLI wiring pick up ORAG_LLM_API_BASE and
+    build the OpenAICompatibleLLM provider."""
     import tempfile
     from optimized_rag_tpu.config import Settings
     if settings is None:
         settings = Settings.from_env()
         settings.data_dir = data_dir or tempfile.mkdtemp(prefix="qa_sheet_")
     from optimized_rag_tpu.cli import build_agent as _build
-    agent = _build(settings, offline=True, local_lm=local_lm)
+    agent = _build(settings, offline=not online, local_lm=local_lm)
     ing = agent.ingestor
     for d in filter(None, [QA_DOCS_DIR, extra_docs]):
         ing.upload_directory(d)
@@ -339,6 +385,8 @@ def main(argv=None) -> int:
                     help="reference sample-PDF dir enabling the pdf-* "
                          "section ('none' to disable)")
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--no-pt", action="store_true",
+                    help="skip the Portuguese cross-lingual section")
     args = ap.parse_args(argv)
     sheet = list(QA_SHEET)
     pdf_dir = None if args.pdf_docs in (None, "none") else args.pdf_docs
@@ -365,6 +413,33 @@ def main(argv=None) -> int:
             sum(r["correct"] for r in pdf_probes)
             / max(len(pdf_probes), 1))
         result["summary"]["pdf_n"] = len(pdf_rows)
+    if not args.no_pt and not args.local_lm:
+        # Cross-lingual PT section over the ONLINE provider path: a real
+        # loopback chat-completions endpoint whose scripted model
+        # translates; measures the translate->retrieve->generate->verify
+        # pipeline, not a hosted LLM's translation quality.
+        from optimized_rag_tpu.eval.llm_endpoint import MockOpenAIServer
+        print("pt-* section (online provider path):", file=sys.stderr)
+        with MockOpenAIServer() as srv:
+            prev = os.environ.get("ORAG_LLM_API_BASE")
+            os.environ["ORAG_LLM_API_BASE"] = srv.api_base
+            try:
+                pt_agent = build_agent(extra_docs=args.docs, online=True)
+                pt_result = run_sheet(pt_agent, sheet=PT_SHEET)
+            finally:
+                if prev is None:
+                    os.environ.pop("ORAG_LLM_API_BASE", None)
+                else:
+                    os.environ["ORAG_LLM_API_BASE"] = prev
+        result["rows"] += pt_result["rows"]
+        pt_ans = [r for r in pt_result["rows"] if not r["unanswerable"]]
+        pt_probes = [r for r in pt_result["rows"] if r["unanswerable"]]
+        result["summary"]["pt_accuracy"] = (
+            sum(r["correct"] for r in pt_ans) / max(len(pt_ans), 1))
+        result["summary"]["pt_probes_refused"] = (
+            sum(r["correct"] for r in pt_probes) / max(len(pt_probes), 1))
+        result["summary"]["pt_n"] = len(pt_result["rows"])
+        result["summary"]["pt_provider"] = "openai-compatible loopback"
     s = result["summary"]
     print(json.dumps(s, indent=2))
     if args.json_out:
