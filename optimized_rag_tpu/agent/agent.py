@@ -61,8 +61,10 @@ class RAGAgent:
                  web: Optional[WebSearchTool] = None,
                  ingestor=None):
         self.settings = settings or Settings()
-        self.llm = llm or DeterministicLLM()
         s = self.settings
+        self.llm = llm or DeterministicLLM(
+            min_weighted=s.verification.extractive_min_weighted,
+            min_coverage=s.verification.extractive_min_coverage)
 
         # Reuse compiled executables across processes (utils/compile_cache):
         # must run before the first jitted call below.

@@ -45,7 +45,14 @@ class DeterministicLLM:
     offline demos; swap in a real provider for production generation.
     """
 
-    def __init__(self):
+    def __init__(self, min_weighted: float = 2.6,
+                 min_coverage: float = 0.7):
+        # Relevance-bar thresholds (config.VerificationConfig
+        # extractive_min_weighted / extractive_min_coverage): calibrated
+        # on the round-3 QA sheet, validated on the fresh held-out
+        # probes in eval/holdout_probes.py.
+        self.min_weighted = min_weighted
+        self.min_coverage = min_coverage
         self.calls: List[tuple] = []
 
     # -- helpers ------------------------------------------------------------
@@ -349,7 +356,8 @@ class DeterministicLLM:
         # context covers little of the query's idf mass AND the best
         # sentence carries little weighted evidence. Measured on the QA
         # sheet: off-topic winners ≤2.49 weighted at coverage ≤0.48;
-        # legitimate answers ≥3.08 or coverage 1.0.
+        # legitimate answers ≥3.08 or coverage 1.0. Held-out validation
+        # (fresh probes never used for tuning): eval/holdout_probes.py.
         ctx_terms = set().union(*(sent_sets[i][j] for i, j in live)) \
             if live else set()
         q_mass = sum(w[t] for t in q_set) or 1e-9
@@ -357,7 +365,8 @@ class DeterministicLLM:
         # n_sents >= 8: in a tiny context every present term has df ~
         # n_sents, idf degenerates and the weighted score means nothing.
         if len(q_set) >= 4 and n_sents >= 8 \
-                and best_weighted < 2.6 and qcov < 0.7:
+                and best_weighted < self.min_weighted \
+                and qcov < self.min_coverage:
             cands = []
         # Minimum-evidence bar: a multi-term query whose best sentence
         # shares only one content word is off-topic context, not an

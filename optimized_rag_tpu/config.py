@@ -191,6 +191,13 @@ class VerificationConfig:
     refusal_threshold: float = 0.50            # factuality_scorer.py:203
     web_search_factuality_trigger: float = 0.35  # decisions.py:78
     attribution_traceable_ratio: float = 0.95  # attribution_mapper.py
+    # Extractive-generator relevance bar (DeterministicLLM._generate):
+    # refuse when the best weighted sentence evidence AND the query's
+    # idf-mass coverage are both low. Calibrated on the round-3 QA run,
+    # validated on a FRESH held-out probe set the constants never saw
+    # (eval/holdout_probes.py — VERDICT r3 next #5).
+    extractive_min_weighted: float = 2.6
+    extractive_min_coverage: float = 0.7
 
 
 # ---------------------------------------------------------------------------

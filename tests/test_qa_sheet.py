@@ -120,3 +120,34 @@ def test_run_sheet_isolates_adaptive_weights():
     assert len(set(ids)) == 2 and "base" not in ids
     assert all(db is None for _, db in seen)    # no cross-run persistence
     assert agent.weight_manager is base         # restored after the run
+
+
+def test_holdout_probes_are_fresh_and_well_formed():
+    """The held-out instrument (eval/holdout_probes.py) must not reuse
+    any QA_SHEET/PDF_SHEET question (that would re-circularize the bar)
+    and must keep the 12+12 answerable/off-topic split."""
+    from optimized_rag_tpu.eval.holdout_probes import HOLDOUT_SHEET
+    tuned_questions = {i.question.lower() for i in QA_SHEET + PDF_SHEET}
+    ids = [i.id for i in HOLDOUT_SHEET]
+    assert len(ids) == len(set(ids))
+    answerable = [i for i in HOLDOUT_SHEET if not i.unanswerable]
+    probes = [i for i in HOLDOUT_SHEET if i.unanswerable]
+    assert len(answerable) >= 10 and len(probes) >= 10
+    for item in HOLDOUT_SHEET:
+        assert item.question.lower() not in tuned_questions, item.id
+        if not item.unanswerable:
+            assert item.expect_any, item.id
+
+
+def test_holdout_gate_semantics():
+    """false_answers / wrongful_refusals accounting behind the gate."""
+    from optimized_rag_tpu.eval.holdout_probes import HOLDOUT_SHEET
+    sheet = [QAItem("a", "good q", ["fact"]),
+             QAItem("p", "offtopic q", unanswerable=True)]
+    agent = _StubAgent({
+        "good q": _resp("the fact [1]", sources=[{"text": "the fact"}]),
+        "offtopic q": _resp("A made-up confident answer."),
+    })
+    out = run_sheet(agent, sheet=sheet, verbose=False)
+    probes = [r for r in out["rows"] if r["unanswerable"]]
+    assert sum(not r["correct"] for r in probes) == 1  # false answer
