@@ -264,6 +264,9 @@ if __name__ == "__main__":
         elif which == "mesh-ivf":
             mesh_ivf_validate()
         else:
-            capacity()
+            # `capacity [per_chip_rows]` — e.g. 12500000 runs the full
+            # 100M-row/8-chip layout (VERDICT r3 next #6).
+            per_chip = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 21
+            capacity(per_chip=per_chip)
     else:
         ivf10m()

@@ -134,10 +134,15 @@ class DeterministicLLM:
                 r"[\w ]{2,40})", convo, re.IGNORECASE)
             return "\n".join(f"- {f.strip()}" for f in facts[:3]) or "NONE"
         if task == "extract_triples":
-            facts = re.findall(
-                r"\b([A-Z][\w\-]{1,30})\s+(is|has|uses)\s+"
-                r"(?:a |an |the )?([\w\-]{2,30})", prompt)
-            return "\n".join(f"{s}|{r}|{o}" for s, r, o in facts[:10])
+            # Simulated LLM extraction = the shared pattern extractor
+            # over the prompt's text payload (quality measured by
+            # eval/kg_eval.py). Lazy import: llm.py must not pull the
+            # store package at module load.
+            from optimized_rag_tpu.store.kg import heuristic_triples
+            m = re.search(r"Text:\s*(.+?)\s*Triples:", prompt, re.DOTALL)
+            payload = m.group(1) if m else prompt
+            return "\n".join(f"{s}|{r}|{o}"
+                             for s, r, o in heuristic_triples(payload)[:20])
         if task == "generate":
             return self._generate(prompt)
         if task == "conversation_reference":
@@ -275,9 +280,9 @@ class DeterministicLLM:
             return [self._stem(w) for w in
                     re.findall(r"[a-z0-9]+", text.lower())]
 
-        doc_sents = [[s.strip() for s in re.split(r"(?<=[.!?])\s+",
-                                                  doc.strip())
-                      if len(s.strip()) >= 3] for doc in docs]
+        from optimized_rag_tpu.agent.verification import split_sentences
+        doc_sents = [[s for s in split_sentences(doc.strip())
+                      if len(s) >= 3] for doc in docs]
         sent_words = [[words(s) for s in sents] for sents in doc_sents]
         sent_sets = [[set(sw) for sw in sws] for sws in sent_words]
         # Exact-duplicate sentences (ordinary chunk overlap replicates

@@ -194,6 +194,16 @@ def retrieve_rag(state: AgentState, agent) -> None:
     state.rag_context = docs + state.archival_memories
     if agent.kg_retriever is not None and agent.settings.flags.enable_kg:
         state.kg_context = agent.kg_retriever.query_knowledge_graph(query)
+        # Composed multi-hop chains become a CITABLE evidence doc: a
+        # 2-hop fact spans two documents, so no retrieved chunk can
+        # support the answer — the chain sentence is the only surface
+        # the generator can extract and the verifier can check.
+        chains = agent.kg_retriever.query_chains(query)
+        if chains:
+            state.rag_context = state.rag_context + [RetrievedDoc(
+                doc_id=-2, score=0.5,
+                text=". ".join(chains) + ".",
+                source=Source.KNOWLEDGE_GRAPH)]
 
 
 def rerank_and_eval(state: AgentState, agent) -> None:
@@ -287,7 +297,18 @@ def rerank_and_eval(state: AgentState, agent) -> None:
             query, docs, intent=state.query_intent,
             confidence=state.retrieval_confidence or 1.0)
         state.compressed = True
-    state.rag_context = docs
+    # Pin composed KG evidence (retrieve_rag's chain doc): it exists
+    # only when the query's entities link ACROSS documents, so no
+    # single retrieved chunk carries the composed fact — a reranker
+    # trained on natural sentences scoring the terse triple text low
+    # must not silently drop the one citable multi-hop surface. It
+    # rides first so an equal-evidence tie resolves to the composed
+    # chain rather than either half.
+    kept = {id(d) for d in docs}
+    kg_pinned = [d for d in state.rag_context
+                 if d.source == Source.KNOWLEDGE_GRAPH
+                 and id(d) not in kept]
+    state.rag_context = kg_pinned + docs
 
 
 def chain_of_thought(state: AgentState, agent) -> None:

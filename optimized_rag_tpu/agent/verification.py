@@ -37,10 +37,22 @@ import jax.numpy as jnp
 
 _CITE_RE = re.compile(r"\[(\d+)\]")
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
+_ABBREV_TAIL = re.compile(
+    r"\b(?:Dr|Mr|Mrs|Ms|Prof|St|vs|etc|e\.g|i\.e|No)\.$")
 
 
 def split_sentences(text: str) -> List[str]:
-    return [s.strip() for s in _SENT_RE.split(text) if s.strip()]
+    """Sentence split that does not break after title abbreviations —
+    a naive split turns "Dr. Alvarez" into a sentence boundary, which
+    truncated extractive answers and misaligned claim verification."""
+    parts = [s.strip() for s in _SENT_RE.split(text) if s.strip()]
+    out: List[str] = []
+    for p in parts:
+        if out and _ABBREV_TAIL.search(out[-1]):
+            out[-1] = out[-1] + " " + p
+        else:
+            out.append(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,14 @@ QA_SHEET: List[QAItem] = [
     QAItem("ing-dedup", "What are the three levels of deduplication?",
            ["exact hashes", "edit distance", "embedding similarity"],
            source_hint="ingestion"),
+    # --- 2-hop KG question (project_meridian.md + staff_notes.md): the
+    # leader fact and the lab fact live in DIFFERENT documents; only the
+    # knowledge graph's composed chain can support the answer
+    # (kg.query_chains; tests/test_agent.py proves it fails with
+    # enable_kg off).
+    QAItem("kg-2hop",
+           "Where did the head of the Meridian project come from?",
+           ["basel"], source_hint="project_meridian+staff_notes"),
     # --- unanswerable probes (correct outcome: refusal / no-info answer)
     QAItem("un-capital", "What is the capital city of Australia?",
            unanswerable=True),

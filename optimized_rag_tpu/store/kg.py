@@ -25,10 +25,68 @@ Only include facts stated in the text. Text:
 {text}
 Triples:"""
 
-# Heuristic fallback: "X is/was/has/are Y" patterns.
-_HEUR_RE = re.compile(
-    r"([A-Z][\w \-]{1,40}?)\s+(is|are|was|were|has|have|uses|contains)\s+"
-    r"(?:a |an |the )?([\w \-]{2,50}?)(?:[.,;]|$)", re.MULTILINE)
+# Heuristic fallback patterns (measured on eval/kg_eval.py's gold
+# fixture — the round-3 single is/has/uses regex scored recall 0.25).
+# P1: passive/prepositional — "X was led by Y", "X joined from Y".
+# Objects/subjects may contain abbreviation dots ("Dr. Alvarez"):
+# sentences are pre-split and stripped of their final punctuation, so
+# the in-pattern terminators are only [,;:] / "and" / end-of-sentence.
+_HEUR_PASSIVE = re.compile(
+    r"(?:The |An? )?([A-Z][\w\.\- ]{1,45}?)\s+"
+    r"(?:(is|are|was|were)\s+)?(\w+(?:ed|wn|ilt))\s+"
+    r"(by|from|into|to)\s+(?:a |an |the )?"
+    r"([\w\.\- ]{2,60}?)(?:[,;:]|\s+and\s+|$)", re.MULTILINE)
+# P2: active SVO with a curated verb lexicon (precision guard: a bare
+# \w+s verb slot would triple every sentence).
+_HEUR_VERBS = (
+    "is|are|was|were|has|have|uses|use|contains|holds|stores|runs|"
+    "delivers|supports|requires|provides|performs|feeds|joins|leads|"
+    "links|builds|merges|combines|blends|embeds|cuts|multiplies|"
+    "partitions|scans|accepts|scores|ranks|selects|extracts|persists|"
+    "adjusts|escalates|reduces|trades|dampens|maintains|represents|"
+    "splits|catches|measures|tracks|records|checks")
+_HEUR_ACTIVE = re.compile(
+    r"(?:The |An? )?([A-Z][\w\.\- ]{1,45}?)\s+(%s)\s+"
+    r"(?:a |an |the |about )?([\w\.\- ]{2,60}?)(?:[,;:]|$)"
+    % _HEUR_VERBS, re.MULTILINE)
+_PRONOUNS = {"it", "they", "this", "that", "these", "those", "he", "she",
+             "its", "there"}
+_ABBREV_TAIL = re.compile(
+    r"\b(?:Dr|Mr|Mrs|Ms|Prof|St|vs|etc|e\.g|i\.e|No)\.$")
+
+
+def _sentences(text: str) -> List[str]:
+    """Sentence split that does not break after title abbreviations
+    ("Dr. Alvarez") — a naive split truncated subjects to "Dr" and sent
+    the BFS frontier chasing the substring "dr" (matched "draft")."""
+    parts = re.split(r"(?<=[.!?])\s+", text or "")
+    out: List[str] = []
+    for p in parts:
+        if out and _ABBREV_TAIL.search(out[-1]):
+            out[-1] = out[-1] + " " + p
+        else:
+            out.append(p)
+    return [s.rstrip().rstrip(".!?") for s in out]
+
+
+def heuristic_triples(text: str) -> List[Triple]:
+    """Dependency-free extraction: passive pattern first per sentence,
+    active SVO otherwise; pronoun subjects dropped (no coreference)."""
+    out: List[Triple] = []
+    for sent in _sentences(text):
+        m = _HEUR_PASSIVE.search(sent)
+        if m:
+            subj, aux, verb, prep, obj = m.groups()
+            if subj.strip().lower() not in _PRONOUNS:
+                rel = " ".join(filter(None, (aux, verb, prep)))
+                out.append((subj.strip(), rel, obj.strip()))
+                continue
+        m = _HEUR_ACTIVE.search(sent)
+        if m:
+            subj, verb, obj = m.groups()
+            if subj.strip().lower() not in _PRONOUNS:
+                out.append((subj.strip(), verb, obj.strip()))
+    return out
 
 
 def parse_triple_lines(raw: str) -> List[Triple]:
@@ -60,8 +118,7 @@ class KnowledgeGraphExtractor:
                     return triples[: self.max_triples]
             except Exception:
                 pass  # fall through to heuristics (fail-open like reference)
-        return [(s.strip(), r.strip(), o.strip())
-                for s, r, o in _HEUR_RE.findall(text)][: self.max_triples]
+        return heuristic_triples(text)[: self.max_triples]
 
     def store_triples(self, triples: List[Triple],
                       source_doc: Optional[int] = None) -> int:
@@ -95,6 +152,10 @@ class KnowledgeGraphRetriever:
             next_frontier: Set[str] = set()
             for ent in frontier:
                 if ent in visited or len(visited) >= self.max_entities:
+                    continue
+                # Short fragments make LIKE '%x%' match everything
+                # ("dr" matched "draft"); they cannot be real entities.
+                if len(ent) < 3:
                     continue
                 visited.add(ent)
                 for t in self.store.find_triples(self.agent_id, ent):
@@ -135,3 +196,40 @@ class KnowledgeGraphRetriever:
                 seen.add(ln)
                 uniq.append(ln)
         return "\n".join(uniq[:30])
+
+    def query_chains(self, query: str, max_chains: int = 8) -> List[str]:
+        """Composed multi-hop paths for the query's entities.
+
+        A 2-hop fact ("Meridian was led by Alvarez" + "Alvarez joined
+        from Basel") lives in two documents; no single retrieved chunk
+        can support the composed answer. This walks max_hops out from
+        each query entity and joins adjacent triples (object of one ~
+        subject of the next) into one evidence sentence, giving the
+        generator and the claim verifier a citable surface for
+        multi-hop questions. The reference's KG retriever returns flat
+        triple lines only (knowledge_graph.py:260-305); chains are what
+        make them usable by extraction.
+        """
+        def norm(s: str) -> str:
+            return " ".join(re.findall(r"[\w\-]+", s.lower()))
+
+        chains: List[str] = []
+        seen: Set[str] = set()
+        for ent in self.extract_query_entities(query):
+            triples = self.find_related_entities(ent)
+            for t1 in triples:
+                for t2 in triples:
+                    if t1 is t2:
+                        continue
+                    o1, s2 = norm(t1[2]), norm(t2[0])
+                    if not o1 or not s2 or \
+                            not (o1 == s2 or s2 in o1 or o1 in s2):
+                        continue
+                    line = (f"{t1[0]} {t1[1]} {t1[2]}, and "
+                            f"{t2[0]} {t2[1]} {t2[2]}")
+                    if line not in seen:
+                        seen.add(line)
+                        chains.append(line)
+                        if len(chains) >= max_chains:
+                            return chains
+        return chains

@@ -475,3 +475,29 @@ def test_deterministic_llm_skips_query_echo_context():
     answer = llm.complete(prompt, task="generate")
     assert answer.startswith("The new TPU pod"), answer
     assert "[3]" in answer
+
+
+def test_kg_two_hop_question_requires_chain(tmp_path):
+    """The composed KG chain is the only evidence surface for a 2-hop
+    question (facts in different docs): with KG on the agent answers
+    and cites the chain doc; with KG off it cannot produce the fact."""
+    from optimized_rag_tpu.agent.agent import RAGAgent
+    from optimized_rag_tpu.config import Settings
+    s = Settings()
+    s.data_dir = str(tmp_path)
+    agent = RAGAgent(s)
+    for name, text in (
+            ("p1.txt", "The Meridian project was led by Dr. Alvarez. "
+                       "The Meridian project built the retrieval engine."),
+            ("p2.txt", "Dr. Alvarez joined from the Basel lab in 2021. "
+                       "The Basel group studied cluster pruning.")):
+        p = tmp_path / name
+        p.write_text(text)
+        agent.ingestor.upload_file(str(p))
+    q = "Where did the head of the Meridian project come from?"
+    r = agent.chat(q)
+    assert "basel" in r.answer.lower()
+    assert not r.refused
+    agent.settings.flags.enable_kg = False
+    r2 = agent.chat(q)
+    assert "basel" not in r2.answer.lower()

