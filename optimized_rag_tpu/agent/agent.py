@@ -241,6 +241,11 @@ class RAGAgent:
         self.attribution = AttributionMapper()
         self.temporal_validator = TemporalValidator()
         self.calibrator = ConfidenceCalibrator()
+        # RAGAS metrics (reference rag_graph.py builds RAGASEvaluator in
+        # _initialize_rag; here the facade computes natively on-device
+        # when the ragas package is absent — eval/metrics.py).
+        from optimized_rag_tpu.eval.metrics import RAGASEvaluator
+        self.ragas = RAGASEvaluator(embed_fn=self.embed_fn)
 
         # Host-side shared-state guard for concurrent chat turns
         # (server.concurrent_chat widens the chat lock to a semaphore;
