@@ -174,7 +174,10 @@ def capacity(per_chip: int = 1 << 21, d: int = 64) -> None:
     def slab(lo, hi, seed):
         r = np.random.default_rng(seed)
         a = cents[r.integers(0, len(cents), hi - lo)]
-        v = a + 0.35 * r.standard_normal((hi - lo, d)).astype(np.float32)
+        # f32 draws straight from the generator: the f64-then-cast
+        # default is 3x slower and this host generates ~1M f64/s under
+        # contention — at 100M rows that is hours of pure RNG.
+        v = a + 0.35 * r.standard_normal((hi - lo, d), dtype=np.float32)
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         return v
 
