@@ -166,6 +166,27 @@ def main():
                    iters=6)
         emit({"m": f"lax_topk_{cols}", "ms": round(ms, 2)})
 
+    # ---- two-stage alternative for the c2 merge -------------------------
+    # top_k over [B, u*tile] vs per-tile top_k then a tiny merge: same
+    # result set, different sort sizes — measure which the TPU prefers.
+    for cols_t in (32,):
+        blk = jax.device_put(jnp.asarray(
+            rng.standard_normal((b, cols_t * tile)).astype(np.float32)))
+
+        @jax.jit
+        def tk2(x, cols_t=cols_t):
+            x3 = x.reshape(b, cols_t, tile)
+            s1, p1 = jax.lax.top_k(x3, k)          # [b, u, k]
+            s2, p2 = jax.lax.top_k(s1.reshape(b, cols_t * k), k)
+            tile_of = p2 // k
+            within = jnp.take_along_axis(
+                p1.reshape(b, cols_t * k), p2, axis=1)
+            return s2, tile_of * tile + within
+
+        ms = timed(lambda: tk2(blk), lambda r: np.asarray(r[0]), iters=6)
+        emit({"m": f"lax_topk_two_stage_{cols_t * tile}",
+              "ms": round(ms, 2)})
+
     # ---- c1 rescore cost alone -----------------------------------------
     r_cnt, groups = k + max(k, 8), 8
     flat = jax.device_put(jnp.asarray(
