@@ -19,6 +19,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <unordered_map>
 #include <unordered_set>
@@ -185,6 +187,132 @@ int64_t orag_model_tokenize(const char* text, int64_t len,
       if (c > ' ' && c < 127) {
         char single = static_cast<char>(c);
         emit(&single, 1);
+      }
+    }
+  }
+  flush_word();
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Learned-vocabulary model tokenizer (models/tokenizer.py VocabTokenizer):
+// vocab hit -> num_special + word_index (collision-free head vocabulary);
+// miss -> hash_base + fnv1a % (vocab_size - hash_base), with trigram
+// sub-tokens ONLY for out-of-vocabulary words longer than split_len.
+// Handle-based: build once per tokenizer, tokenize from any thread
+// (concurrent reads of an immutable map are safe).
+
+namespace {
+
+struct VocabState {
+  std::unordered_map<std::string, int32_t> vocab;
+  int64_t vocab_size = 0;
+  int64_t num_special = 0;
+  int64_t hash_base = 0;
+  int64_t space = 0;
+  int64_t split_len = 0;
+};
+
+std::mutex& VocabMutex() {
+  static std::mutex* m = new std::mutex();
+  return *m;
+}
+
+std::unordered_map<int64_t, std::unique_ptr<VocabState>>& VocabRegistry() {
+  static auto* reg =
+      new std::unordered_map<int64_t, std::unique_ptr<VocabState>>();
+  return *reg;
+}
+
+}  // namespace
+
+// words: newline-separated blob, id = num_special + line index.
+// Returns a handle (>0) or 0 on error.
+int64_t orag_vocab_build(const char* words, int64_t blob_len,
+                         int64_t vocab_size, int64_t num_special,
+                         int64_t split_len) {
+  auto state = std::make_unique<VocabState>();
+  state->vocab_size = vocab_size;
+  state->num_special = num_special;
+  state->split_len = split_len;
+  int32_t next_id = static_cast<int32_t>(num_special);
+  const char* p = words;
+  const char* end = words + blob_len;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(end - p)));
+    size_t wl = nl ? static_cast<size_t>(nl - p)
+                   : static_cast<size_t>(end - p);
+    if (wl > 0) {
+      state->vocab.emplace(std::string(p, wl), next_id++);
+    }
+    p = nl ? nl + 1 : end;
+  }
+  state->hash_base = next_id;
+  state->space = vocab_size - state->hash_base;
+  if (state->space <= 0) return 0;
+  std::lock_guard<std::mutex> lock(VocabMutex());
+  static int64_t next_handle = 1;
+  int64_t h = next_handle++;
+  VocabRegistry()[h] = std::move(state);
+  return h;
+}
+
+void orag_vocab_free(int64_t handle) {
+  std::lock_guard<std::mutex> lock(VocabMutex());
+  VocabRegistry().erase(handle);
+}
+
+int64_t orag_vocab_tokenize(int64_t handle, const char* text, int64_t len,
+                            int32_t* out_ids, int64_t max_out) {
+  const VocabState* st;
+  {
+    std::lock_guard<std::mutex> lock(VocabMutex());
+    auto it = VocabRegistry().find(handle);
+    if (it == VocabRegistry().end()) return -1;
+    st = it->second.get();
+  }
+  int64_t n = 0;
+  auto hash_id = [&](const char* data, size_t l) {
+    return static_cast<int32_t>(st->hash_base + fnv1a(data, l) % st->space);
+  };
+  auto emit = [&](int32_t id) {
+    if (n < max_out) out_ids[n++] = id;
+  };
+  std::string tok;
+  tok.reserve(32);
+  auto flush_word = [&]() {
+    if (tok.empty()) return;
+    auto hit = st->vocab.find(tok);
+    if (hit != st->vocab.end()) {
+      emit(hit->second);
+    } else {
+      emit(hash_id(tok.data(), tok.size()));
+      if (static_cast<int64_t>(tok.size()) > st->split_len) {
+        for (size_t i = 0; i + 2 < tok.size(); i += 3) {
+          std::string tri = "##" + tok.substr(i, 3);
+          // trigram pieces contain '#', never in the word vocabulary
+          emit(hash_id(tri.data(), tri.size()));
+        }
+      }
+    }
+    tok.clear();
+  };
+  for (int64_t i = 0; i < len; ++i) {
+    unsigned char c = static_cast<unsigned char>(text[i]);
+    if (c >= 'A' && c <= 'Z') c += 32;
+    if (is_word_byte(c)) {
+      tok.push_back(static_cast<char>(c));
+    } else {
+      flush_word();
+      if (c > ' ' && c < 127) {
+        // single punctuation token: vocab lookup first (single
+        // non-alnum chars can be learned words), then hash.
+        char single = static_cast<char>(c);
+        std::string s1(1, single);
+        auto hit = st->vocab.find(s1);
+        emit(hit != st->vocab.end() ? hit->second
+                                    : hash_id(&single, 1));
       }
     }
   }

@@ -167,6 +167,8 @@ class VocabTokenizer(HashTokenizer):
         self.vocab = {w: NUM_SPECIAL + i for i, w in enumerate(self.words)}
         self._hash_base = NUM_SPECIAL + len(self.words)
         self._space = vocab_size - self._hash_base
+        self._native_handle: int | None = None
+        self._native_tried = False
 
     @classmethod
     def train(cls, texts, vocab_size: int = 32768, max_len: int = 512,
@@ -188,7 +190,19 @@ class VocabTokenizer(HashTokenizer):
         return self._hash_base + _fnv1a(token.encode("utf-8")) % self._space
 
     def tokenize(self, text: str) -> list[int]:
-        # no native fast path (it implements the pure-hash scheme)
+        # Native fast path (analyzer.cpp orag_vocab_tokenize): the
+        # learned-vocab map lives in C++ behind a handle; host
+        # tokenization is the encode() hot loop on 1-core serving hosts.
+        from optimized_rag_tpu import native
+        if not self._native_tried:
+            self._native_tried = True
+            self._native_handle = native.vocab_build(
+                self.words, self.vocab_size, NUM_SPECIAL,
+                _TRIGRAM_SPLIT_LEN)
+        if self._native_handle is not None:
+            fast = native.vocab_tokenize(self._native_handle, text)
+            if fast is not None:
+                return fast
         ids: list[int] = []
         for w in _WORD_RE.findall(text.lower()):
             ids.append(self._tid(w))

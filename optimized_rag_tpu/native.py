@@ -55,6 +55,20 @@ def _try_load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+            # Learned-vocab tokenizer entry points are absent from a
+            # stale prebuilt .so; gate on presence so the fallback path
+            # (not an AttributeError) handles it.
+            if hasattr(lib, "orag_vocab_build"):
+                lib.orag_vocab_build.restype = ctypes.c_int64
+                lib.orag_vocab_build.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64]
+                lib.orag_vocab_free.restype = None
+                lib.orag_vocab_free.argtypes = [ctypes.c_int64]
+                lib.orag_vocab_tokenize.restype = ctypes.c_int64
+                lib.orag_vocab_tokenize.argtypes = [
+                    ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
             _lib = lib
             break
     return _lib
@@ -125,4 +139,43 @@ def model_tokenize(text: str, vocab_size: int, num_special: int = 4,
     n = lib.orag_model_tokenize(
         raw, len(raw), vocab_size, num_special, split_len,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+    return out[:n].tolist()
+
+
+def vocab_build(words: List[str], vocab_size: int, num_special: int = 4,
+                split_len: int = 12) -> Optional[int]:
+    """Build a native learned-vocabulary tokenizer state; returns a
+    handle for ``vocab_tokenize`` or None if unavailable. Words get ids
+    num_special + index (VocabTokenizer's mapping); non-ASCII words are
+    fine in the table (looked up by UTF-8 bytes), though such TEXT still
+    routes to Python."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "orag_vocab_build"):
+        return None
+    blob = "\n".join(words).encode("utf-8")
+    h = lib.orag_vocab_build(blob, len(blob), vocab_size, num_special,
+                             split_len)
+    return int(h) or None
+
+
+def vocab_free(handle: int) -> None:
+    lib = _try_load()
+    if lib is not None and hasattr(lib, "orag_vocab_free"):
+        lib.orag_vocab_free(handle)
+
+
+def vocab_tokenize(handle: int, text: str) -> Optional[List[int]]:
+    """Native VocabTokenizer.tokenize; None if unavailable/non-ASCII."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "orag_vocab_tokenize") \
+            or not text.isascii():
+        return None
+    raw = text.encode()
+    cap = max(len(raw) * 2, 16)
+    out = np.empty(cap, np.int32)
+    n = lib.orag_vocab_tokenize(
+        handle, raw, len(raw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+    if n < 0:
+        return None
     return out[:n].tolist()

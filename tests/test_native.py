@@ -93,3 +93,45 @@ def test_lexical_index_same_results_native_vs_python(built):
     s2, i2 = b.search("quick brown matrices", k=4)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_vocab_tokenizer_native_matches_python(built):
+    """Learned-vocab fast path (orag_vocab_tokenize): bit-identical ids
+    on ASCII text, including head-vocab hits, hash fallback, OOV
+    trigrams, punctuation singles (vocab-eligible), and empty input."""
+    from optimized_rag_tpu.models.tokenizer import VocabTokenizer
+    words = ["the", "matrix", "unit", "systolic", "array", "retrieval",
+             "memory", "?", "a1b2", "extraordinarilylongword"]
+    vt = VocabTokenizer(words, vocab_size=4096)
+    cases = SAMPLES + [
+        "The matrix unit is a 128x128 systolic array?",
+        "unknown extraordinarilylongword vs anotherveryverylongoovword",
+        "punct: (parens), [brackets]; 'quotes'! ###",
+        "a1b2 A1B2 mixed CASE Memory",
+        "",
+    ]
+    for text in [c for c in cases if c.isascii()]:
+        fast = vt.tokenize(text)
+        handle = vt._native_handle
+        assert handle is not None
+        vt._native_handle = None
+        try:
+            slow = vt.tokenize(text)
+        finally:
+            vt._native_handle = handle
+        assert fast == slow, text
+
+
+def test_vocab_tokenizer_non_ascii_falls_back(built):
+    from optimized_rag_tpu import native
+    from optimized_rag_tpu.models.tokenizer import VocabTokenizer
+    vt = VocabTokenizer(["resume"], vocab_size=4096)
+    # Non-ASCII text routes to Python (authoritative); still tokenizes,
+    # and the native entry point itself declines it.
+    ids = vt.tokenize("café résumé")
+    assert ids
+    assert vt._native_handle is not None
+    assert native.vocab_tokenize(vt._native_handle, "café") is None
+    # ASCII text with the same tokenizer still takes the fast path.
+    assert vt.tokenize("resume the resume") == \
+        [4, vt._tid("the"), 4]
