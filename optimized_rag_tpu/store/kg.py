@@ -170,18 +170,24 @@ class KnowledgeGraphRetriever:
                 break
         return out
 
-    @staticmethod
-    def extract_query_entities(query: str) -> List[str]:
+    _QUESTION_WORDS = frozenset(
+        "what which who whom whose when where why how did does do is are "
+        "was were the can could would should tell give list".split())
+
+    @classmethod
+    def extract_query_entities(cls, query: str) -> List[str]:
         """Capitalized spans + long words (the reference prompts an LLM;
-        this keeps the hot path LLM-free)."""
+        this keeps the hot path LLM-free). Sentence-initial question
+        words capitalize without being entities — filtered."""
         caps = re.findall(r"\b[A-Z][\w\-]+(?:\s+[A-Z][\w\-]+)*", query)
         longw = [w for w in re.findall(r"[a-zA-Z]{5,}", query)]
         seen, out = set(), []
         for e in caps + longw:
             k = e.lower()
-            if k not in seen:
-                seen.add(k)
-                out.append(e)
+            if k in cls._QUESTION_WORDS or k in seen:
+                continue
+            seen.add(k)
+            out.append(e)
         return out[:5]
 
     def query_knowledge_graph(self, query: str) -> str:
