@@ -251,9 +251,10 @@ def capacity(per_chip: int = 1 << 21, d: int = 64) -> None:
           "allgather_bytes_per_batch_analytic": analytic,
           "note": ("CPU virtual mesh: timing is NOT a TPU number; "
                    "recall + collective volume are the measurements. "
-                   "100M rows / 8 chips = 12.5M/chip = 1.6 GB/chip at "
-                   "Matryoshka-64 bf16 (6.25x this build/chip), within "
-                   "v5e HBM with >8 GB headroom.")})
+                   f"{per_chip * d * 2 / 1e9:.1f} GB/chip at "
+                   "Matryoshka-64 bf16 — the 100M-row/8-chip layout is "
+                   "12.5M rows = 1.6 GB/chip, within v5e HBM with "
+                   ">8 GB headroom for the f32 rescore working set.")})
 
 
 if __name__ == "__main__":

@@ -93,8 +93,15 @@ def train_biencoder(texts: Sequence[str], cfg: TransformerConfig,
                     learning_rate: float = 3e-4, max_len: int = 64,
                     seed: int = 0,
                     log: Optional[Callable[[str], None]] = None,
-                    tok=None):
-    """ICT-pretrain a BiEncoder; returns (params, last_loss)."""
+                    tok=None, snapshot_dir: Optional[str] = None,
+                    snapshot_every: int = 1000):
+    """ICT-pretrain a BiEncoder; returns (params, last_loss).
+
+    ``snapshot_dir`` periodically persists the in-flight params (as a
+    normal ``biencoder`` checkpoint) so a mid-run device outage — the
+    tunneled chip drops for minutes-to-hours at a time — costs at most
+    ``snapshot_every`` steps instead of the whole run.
+    """
     from optimized_rag_tpu.models.tokenizer import HashTokenizer
     from optimized_rag_tpu.models.training import BiEncoderTrainer
     rng = np.random.default_rng(seed)
@@ -112,6 +119,11 @@ def train_biencoder(texts: Sequence[str], cfg: TransformerConfig,
         if log and (step % 25 == 0 or step == steps - 1):
             log(f"biencoder step {step}: loss={loss:.4f} "
                 f"({time.time() - t0:.0f}s)")
+        if (snapshot_dir and step and step % snapshot_every == 0
+                and step != steps - 1):
+            save_pretrained(snapshot_dir, "biencoder", trainer.params, cfg)
+            if log:
+                log(f"snapshot at step {step} -> {snapshot_dir}")
     return trainer.params, loss
 
 

@@ -59,16 +59,19 @@ def chunked_topk(queries: jax.Array, corpus: jax.Array, k: int,
                  size: jax.Array | int | None = None, chunk: int = 65536):
     """Streaming top-k over corpus chunks; memory O(B*(chunk+k)).
 
-    The corpus is reshaped to [T, chunk, D] (N must be a multiple of
-    ``chunk``; index/dense.py pads capacity accordingly) and scanned,
-    carrying the running (scores, indices).
+    The corpus is reshaped to [T, chunk, D] and scanned, carrying the
+    running (scores, indices). N need not be a multiple of ``chunk``:
+    the remainder tail (n % chunk rows, a static shape) is scored with
+    one extra matmul and merged into the carry — no host-side padding
+    copy for awkward shard capacities (e.g. 12.5M rows rounded to a
+    tile multiple, not a chunk multiple).
     """
     n, d = corpus.shape
     b = queries.shape[0]
-    assert n % chunk == 0, f"corpus rows {n} not a multiple of chunk {chunk}"
     t = n // chunk
+    rem = n - t * chunk
     q = queries.astype(jnp.float32)
-    corpus3 = corpus.reshape(t, chunk, d)
+    corpus3 = corpus[:t * chunk].reshape(t, chunk, d)
     size_ = jnp.asarray(n if size is None else size, jnp.int32)
 
     def step(carry, inp):
@@ -87,8 +90,23 @@ def chunked_topk(queries: jax.Array, corpus: jax.Array, k: int,
         return (top_s, top_i), None
 
     init = (jnp.full((b, k), NEG_INF), jnp.full((b, k), -1, jnp.int32))
-    (scores, idx), _ = jax.lax.scan(
-        step, init, (jnp.arange(t, dtype=jnp.int32), corpus3))
+    if t:
+        (scores, idx), _ = jax.lax.scan(
+            step, init, (jnp.arange(t, dtype=jnp.int32), corpus3))
+    else:
+        scores, idx = init
+    if rem:
+        tail = corpus[t * chunk:]
+        s = jnp.dot(q, tail.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # [B, rem]
+        base = t * chunk
+        s = _mask_padding(s, base, size_)
+        cand_s = jnp.concatenate([scores, s], axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, rem), 1) + base
+        cand_i = jnp.concatenate([idx, col], axis=1)
+        scores, pos = jax.lax.top_k(cand_s, k)
+        idx = jnp.take_along_axis(cand_i, pos, axis=1)
     return scores, idx
 
 

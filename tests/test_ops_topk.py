@@ -56,6 +56,19 @@ def test_chunked_topk(rng):
     _check(s, i, *_oracle_topk(q, c, 10))
 
 
+@pytest.mark.parametrize("n", [8192 + 992, 1000, 1024 + 1])
+def test_chunked_topk_remainder_tail(rng, n):
+    # N not a multiple of chunk: the tail rows are scored by the extra
+    # merge matmul (the 12.5M-rows/shard capacity case, rounded to a
+    # tile multiple but not a chunk multiple).
+    q, c = _make(rng, n=n)
+    s, i = chunked_topk(jnp.asarray(q), jnp.asarray(c), 10, chunk=1024)
+    _check(s, i, *_oracle_topk(q, c, 10))
+    s, i = chunked_topk(jnp.asarray(q), jnp.asarray(c), 7, size=n - 3,
+                        chunk=1024)
+    _check(s, i, *_oracle_topk(q, c, 7, size=n - 3))
+
+
 def test_chunked_topk_padding(rng):
     q, c = _make(rng, n=8192)
     s, i = chunked_topk(jnp.asarray(q), jnp.asarray(c), 7, size=5000,
