@@ -41,9 +41,14 @@ def emit(d):
     print(json.dumps(d), flush=True)
 
 
+SMOKE = False
+
+
 def timed(fn, fetch, iters=8, warm=2, depth=2):
     """Depth-pipelined ms/iter with per-iteration host fetch (the only
     honest barrier through the tunneled runtime)."""
+    if SMOKE:  # interpret-mode correctness pass: one iteration, no warmup
+        iters, warm, depth = 1, 0, 1
     for _ in range(warm):
         fetch(fn())
     pend = []
@@ -64,9 +69,18 @@ def main():
     ap.add_argument("--b", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--tile", type=int, default=4096)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke mode: interpret pallas kernels (correctness of the script, not a timing)")
     args = ap.parse_args()
 
     import jax
+    if args.interpret:
+        # The axon boot hook force-sets jax_platforms="axon,cpu" at
+        # interpreter start, overriding JAX_PLATFORMS; a "CPU" smoke run
+        # would otherwise hang in the chip-claim wait.
+        jax.config.update("jax_platforms", "cpu")
+        global SMOKE
+        SMOKE = True
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -74,6 +88,7 @@ def main():
     from optimized_rag_tpu.ops import topk as T
 
     n, d, b, k, tile = args.n, args.d, args.b, args.k, args.tile
+    interp = args.interpret
     backend = jax.default_backend()
     log(f"backend={backend} n={n} d={d} b={b} tile={tile}")
     corpus = make_corpus_device(n, d, clusters=4096, dtype=jnp.bfloat16)
@@ -104,6 +119,7 @@ def main():
         return pl.pallas_call(
             functools.partial(_floor_kernel,
                               precision=jax.lax.Precision.DEFAULT),
+            interpret=interp,
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec((b, d), lambda i: (0, 0),
@@ -127,7 +143,7 @@ def main():
     # ---- packed extraction pass alone ---------------------------------
     @jax.jit
     def packed_call(q):
-        (w,) = T._packed_pass(q, corpus, None, tile, 8, False,
+        (w,) = T._packed_pass(q, corpus, None, tile, 8, interp,
                               jax.lax.Precision.DEFAULT)
         return w
 
@@ -137,7 +153,8 @@ def main():
 
     # ---- full certified -------------------------------------------------
     def cert(q):
-        return T.pallas_topk_certified(q, corpus, k, tile=tile, groups=8)
+        return T.pallas_topk_certified(q, corpus, k, tile=tile,
+                                       groups=8, interpret=interp)
 
     ms = timed(lambda: cert(nxt()), lambda r: np.asarray(r[1]))
     emit({"m": "certified_full", "ms": round(ms, 2),
@@ -147,7 +164,8 @@ def main():
     for ut in (8, 16):
         def cert_u(q, ut=ut):
             return T.pallas_topk_certified(q, corpus, k, tile=tile,
-                                           groups=8, union_tiles=ut)
+                                           groups=8, union_tiles=ut,
+                                           interpret=interp)
         ms = timed(lambda: cert_u(nxt()), lambda r: np.asarray(r[1]))
         unc = int(np.asarray(cert_u(qs[0])[1])[-1, 0])
         emit({"m": f"certified_union{ut}", "ms": round(ms, 2),
@@ -205,8 +223,11 @@ def main():
 
     # ---- end-to-end dispatch (headline protocol) ------------------------
     def e2e(q):
+        # dispatch_topk derives interpret from the backend; force the
+        # pallas route in smoke mode (prefer_pallas defaults False on CPU).
         return T.dispatch_topk(q, corpus, k, tile=tile,
-                               defer_certificate=True)
+                               defer_certificate=True,
+                               prefer_pallas=True if interp else None)
 
     ms = timed(lambda: e2e(nxt()), lambda r: np.asarray(r[1]), iters=12)
     unc = int(np.asarray(e2e(qs[0])[1])[-1, 0])
