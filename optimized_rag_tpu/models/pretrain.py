@@ -98,20 +98,49 @@ def train_biencoder(texts: Sequence[str], cfg: TransformerConfig,
     """ICT-pretrain a BiEncoder; returns (params, last_loss).
 
     ``snapshot_dir`` periodically persists the in-flight params (as a
-    normal ``biencoder`` checkpoint) so a mid-run device outage — the
-    tunneled chip drops for minutes-to-hours at a time — costs at most
-    ``snapshot_every`` steps instead of the whole run.
+    normal ``biencoder`` checkpoint plus a ``biencoder.step.txt``
+    marker) so a mid-run device outage — the tunneled chip drops for
+    minutes-to-hours at a time — costs at most ``snapshot_every`` steps
+    instead of the whole run: a relaunch with the same ``snapshot_dir``
+    resumes from the marker. The data stream is realigned by replaying
+    the sampler (cheap host work); a callable ``learning_rate`` is
+    shifted by the resumed step so schedules continue rather than
+    restart. Optimizer moments are NOT snapshotted — the Adam state
+    rewarms over a few dozen steps, a deliberate trade against doubling
+    snapshot transfer off the tunneled device.
     """
     from optimized_rag_tpu.models.tokenizer import HashTokenizer
-    from optimized_rag_tpu.models.training import BiEncoderTrainer
+    from optimized_rag_tpu.models.training import (
+        BiEncoderTrainer, shard_params)
     rng = np.random.default_rng(seed)
     tok = tok or HashTokenizer(cfg.vocab_size, max_len)
-    trainer = BiEncoderTrainer(cfg, mesh, learning_rate=learning_rate,
-                               seed=seed)
     sampler = ICTSampler(texts)
+
+    start_step = 0
+    resume_params = None
+    marker = (os.path.join(snapshot_dir, "biencoder.step.txt")
+              if snapshot_dir else None)
+    if marker and os.path.exists(marker):
+        ck = load_pretrained(snapshot_dir, "biencoder")
+        if ck is not None:
+            _, resume_params = ck
+            start_step = int(open(marker).read().strip()) + 1
+            for _ in range(start_step):  # realign the sampled data stream
+                sampler.sample(rng, batch)
+            if log:
+                log(f"resuming from snapshot step {start_step - 1} "
+                    f"in {snapshot_dir}")
+    lr = learning_rate
+    if start_step and callable(learning_rate):
+        lr = (lambda count, _sched=learning_rate:
+              _sched(count + start_step))
+    trainer = BiEncoderTrainer(cfg, mesh, learning_rate=lr, seed=seed)
+    if resume_params is not None:
+        trainer.params = shard_params(resume_params, mesh)
+
     loss = float("nan")
     t0 = time.time()
-    for step in range(steps):
+    for step in range(start_step, steps):
         q, d, _ = sampler.sample(rng, batch)
         q_ids, q_mask = _encode_batch(tok, q, max_len)
         d_ids, d_mask = _encode_batch(tok, d, max_len)
@@ -122,8 +151,12 @@ def train_biencoder(texts: Sequence[str], cfg: TransformerConfig,
         if (snapshot_dir and step and step % snapshot_every == 0
                 and step != steps - 1):
             save_pretrained(snapshot_dir, "biencoder", trainer.params, cfg)
+            with open(marker, "w") as fh:
+                fh.write(str(step))
             if log:
                 log(f"snapshot at step {step} -> {snapshot_dir}")
+    if marker and os.path.exists(marker):
+        os.remove(marker)  # completed: a future run must start fresh
     return trainer.params, loss
 
 
