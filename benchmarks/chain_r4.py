@@ -69,18 +69,31 @@ def retrain_done() -> bool:
 
 def probe_healthy() -> bool:
     """Claim-probe in a SUBPROCESS so its claim attempt dies with it."""
+    # os._exit after printing: a timed-out probe's claim thread is
+    # non-daemon and blocked in backend init, so a normal exit would
+    # hang the child until the outer kill.
+    code = ("from optimized_rag_tpu.utils.health import "
+            "check_device_health; import json, os, sys; "
+            "print(json.dumps(check_device_health(75.0))); "
+            "sys.stdout.flush(); os._exit(0)")
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "from optimized_rag_tpu.utils.health import "
-             "check_device_health; import json; "
-             "print(json.dumps(check_device_health(75.0)))"],
-            capture_output=True, text=True, timeout=150, cwd=REPO)
-        for ln in reversed(r.stdout.strip().splitlines() or [""]):
-            if ln.startswith("{"):
-                return bool(json.loads(ln).get("healthy"))
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=150,
+                           cwd=REPO)
+        out = r.stdout or ""
+    except subprocess.TimeoutExpired as exc:
+        out = exc.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
     except Exception as exc:
         log(f"probe error: {exc!r}")
+        return False
+    for ln in reversed(out.strip().splitlines() or [""]):
+        if ln.startswith("{"):
+            try:
+                return bool(json.loads(ln).get("healthy"))
+            except ValueError:
+                pass
     return False
 
 
