@@ -179,7 +179,14 @@ _ES_EN = {
     "similitud": "similarity", "coseno": "cosine", "usa": "uses",
     "utiliza": "uses", "mínimo": "minimum", "minimo": "minimum",
     "eficiente": "efficient", "respuesta": "answer",
-    "pregunta": "question",
+    "pregunta": "question", "al": "to the", "cuánta": "how much",
+    "cuanta": "how much",
+    "igual": "equal", "tres": "three", "tipos": "kinds", "tipo": "kind",
+    "agente": "agent", "soporte": "support", "razón": "ratio",
+    "razon": "ratio", "debe": "must", "alcanzar": "reach",
+    "aceptada": "accepted", "capital": "capital", "quién": "who",
+    "quien": "who", "ganó": "won", "gano": "won", "premio": "prize",
+    "física": "physics", "fisica": "physics",
 }
 
 

@@ -249,6 +249,45 @@ PT_SHEET: List[QAItem] = [
            unanswerable=True),
 ]
 
+# Spanish cross-lingual section, same design as PT_SHEET: ASCII-light
+# Spanish questions over the ENGLISH fixture corpus through the online
+# provider path — exercises utils/lang.py's es identification plus the
+# translate -> retrieve -> generate -> verify pipeline on a second
+# source language (the reference leans on langdetect + GPT for this,
+# rag/nodes/helpers.py:605-616).
+ES_SHEET: List[QAItem] = [
+    QAItem("es-hw-mxu", "¿Cuál es el tamaño de la unidad de matriz "
+           "de la TPU?",
+           ["128 by 128", "128x128", "128 × 128"],
+           source_hint="tpu_hardware"),
+    QAItem("es-hw-vmem", "¿Cuánta memoria vectorial tiene un núcleo "
+           "de la TPU?",
+           ["16 megabytes", "16 mb"], source_hint="tpu_hardware"),
+    QAItem("es-dr-cosine",
+           "¿Cuándo la similitud de coseno es igual al producto "
+           "escalar?",
+           ["normalized to unit length", "unit length"],
+           source_hint="dense_retrieval"),
+    QAItem("es-dr-ivf", "¿Cómo reduce el índice IVF el costo de "
+           "búsqueda?",
+           ["nprobe closest clusters", "k-means centroids",
+            "partitions the corpus into clusters"],
+           source_hint="dense_retrieval"),
+    QAItem("es-mt-kinds", "¿Cuáles son los tres tipos de memoria del "
+           "agente?",
+           ["core memory", "archival", "recall"],
+           source_hint="memory_tiers"),
+    QAItem("es-vf-support",
+           "¿Qué razón de soporte debe alcanzar una respuesta para "
+           "ser aceptada?", ["0.70"], source_hint="verification"),
+    # Unanswerable ES probes — refusal is the correct outcome.
+    QAItem("es-un-capital", "¿Cuál es la capital de Australia?",
+           unanswerable=True),
+    QAItem("es-un-nobel",
+           "¿Quién ganó el Premio Nobel de Física en 1921?",
+           unanswerable=True),
+]
+
 _NO_INFO = re.compile(
     r"(don't|do not|does not) have (enough|sufficient) information"
     r"|cannot answer|no relevant", re.IGNORECASE)
@@ -434,6 +473,9 @@ def main(argv=None) -> int:
             try:
                 pt_agent = build_agent(extra_docs=args.docs, online=True)
                 pt_result = run_sheet(pt_agent, sheet=PT_SHEET)
+                print("es-* section (online provider path):",
+                      file=sys.stderr)
+                es_result = run_sheet(pt_agent, sheet=ES_SHEET)
             finally:
                 if prev is None:
                     os.environ.pop("ORAG_LLM_API_BASE", None)
@@ -448,6 +490,14 @@ def main(argv=None) -> int:
             sum(r["correct"] for r in pt_probes) / max(len(pt_probes), 1))
         result["summary"]["pt_n"] = len(pt_result["rows"])
         result["summary"]["pt_provider"] = "openai-compatible loopback"
+        result["rows"] += es_result["rows"]
+        es_ans = [r for r in es_result["rows"] if not r["unanswerable"]]
+        es_probes = [r for r in es_result["rows"] if r["unanswerable"]]
+        result["summary"]["es_accuracy"] = (
+            sum(r["correct"] for r in es_ans) / max(len(es_ans), 1))
+        result["summary"]["es_probes_refused"] = (
+            sum(r["correct"] for r in es_probes) / max(len(es_probes), 1))
+        result["summary"]["es_n"] = len(es_result["rows"])
     s = result["summary"]
     print(json.dumps(s, indent=2))
     if args.json_out:

@@ -69,6 +69,26 @@ def test_translate_preserves_technical_terms():
         == "plain english question"
 
 
+def test_translate_covers_es_sheet():
+    """Every ES_SHEET question translates with its content terms intact
+    (the graded es-* section rides on this vocabulary)."""
+    from optimized_rag_tpu.eval.qa_sheet import ES_SHEET
+    need = {
+        "es-hw-mxu": ("matrix", "unit", "size"),
+        "es-hw-vmem": ("vector", "memory", "core"),
+        "es-dr-cosine": ("cosine", "similarity", "dot product"),
+        "es-dr-ivf": ("ivf", "search", "cost"),
+        "es-mt-kinds": ("three", "memory", "kinds", "agent"),
+        "es-vf-support": ("support", "ratio", "answer", "accepted"),
+        "es-un-capital": ("capital", "australia"),
+        "es-un-nobel": ("who", "won", "nobel", "physics", "1921"),
+    }
+    for item in ES_SHEET:
+        low = translate_to_english(item.question).lower()
+        for word in need[item.id]:
+            assert word in low, (item.id, word, low)
+
+
 def test_server_rejects_bad_api_key():
     import urllib.error
     with MockOpenAIServer(require_key="sk-right") as srv:
