@@ -160,8 +160,11 @@ def babysit_retrain(max_relaunches: int = 3,
         log(f"trainer pid {pid} frozen {frozen_s / 60:.0f} min; probing")
         healthy = probe_healthy()
         if healthy:
-            log("relay healthy under a frozen trainer; 300s grace")
-            time.sleep(300)
+            # Generous grace: a probe's own claim can linger ~3-10 min
+            # after it exits, which blocks the trainer through a short
+            # grace and would livelock kill->relaunch->probe cycles.
+            log("relay healthy under a frozen trainer; 900s grace")
+            time.sleep(900)
             c2 = cpu_jiffies(pid)
             if c2 is not None and c2 - c1 <= 50 and not retrain_done():
                 log("trainer did not resume on a healthy relay -> "
