@@ -126,11 +126,31 @@ def stage(name: str, cmd, out_path: str, timeout_s: int,
         return -1
 
 
-def babysit_retrain(max_relaunches: int = 3,
-                    frozen_cap_s: float = 6 * 3600) -> None:
-    relaunches = 0
+def _log_steps() -> int:
+    """Count training-step lines in the retrain log (progress marker)."""
+    try:
+        with open(RETRAIN_LOG) as fh:
+            return sum(1 for ln in fh if "biencoder step" in ln)
+    except OSError:
+        return 0
+
+
+def babysit_retrain(max_progress_deaths: int = 3,
+                    frozen_cap_s: float = 6 * 3600,
+                    wall_cap_s: float = 9 * 3600) -> None:
+    """Fast deaths (relay refusing: backend init raises in seconds, no
+    step lines added) do NOT consume the relaunch budget — they back
+    off 600s and retry, bounded only by ``wall_cap_s``. Deaths AFTER
+    training progress count against ``max_progress_deaths`` (something
+    is wrong beyond relay availability)."""
+    progress_deaths = 0
     frozen_since = None
+    t_start = time.monotonic()
+    steps_at_launch = _log_steps()
     while not retrain_done():
+        if time.monotonic() - t_start > wall_cap_s:
+            log("babysit wall cap reached; moving on")
+            return
         try:
             pid = int(open(RETRAIN_PID_FILE).read().strip())
         except Exception:
@@ -138,11 +158,17 @@ def babysit_retrain(max_relaunches: int = 3,
         if not pid_alive(pid):
             if retrain_done():
                 break
-            if relaunches >= max_relaunches:
-                log("retrain dead and relaunch budget exhausted; "
-                    "moving on with existing checkpoints")
-                return
-            relaunches += 1
+            made_progress = _log_steps() > steps_at_launch
+            if made_progress:
+                progress_deaths += 1
+                if progress_deaths > max_progress_deaths:
+                    log("retrain keeps dying after making progress; "
+                        "moving on with existing checkpoints")
+                    return
+            else:
+                log("fast death (relay refusing); 600s backoff")
+                time.sleep(600)
+            steps_at_launch = _log_steps()
             relaunch_retrain()
             frozen_since = None
             time.sleep(120)
