@@ -147,6 +147,11 @@ def babysit_retrain(max_progress_deaths: int = 3,
     frozen_since = None
     t_start = time.monotonic()
     steps_at_launch = _log_steps()
+    if not os.path.exists(RETRAIN_PID_FILE) and not retrain_done():
+        # Fresh boot: nothing in flight yet — launch immediately rather
+        # than treating the missing pid file as a relay-refused death.
+        relaunch_retrain()
+        time.sleep(120)
     while not retrain_done():
         if time.monotonic() - t_start > wall_cap_s:
             log("babysit wall cap reached; moving on")
@@ -202,8 +207,8 @@ def babysit_retrain(max_progress_deaths: int = 3,
                         os.kill(pid, 9)
                 except OSError:
                     pass
-                if relaunches < max_relaunches:
-                    relaunches += 1
+                if progress_deaths < max_progress_deaths:
+                    progress_deaths += 1
                     relaunch_retrain()
                 frozen_since = None
         elif frozen_s > frozen_cap_s:
@@ -212,8 +217,8 @@ def babysit_retrain(max_progress_deaths: int = 3,
                 os.kill(pid, 9)
             except OSError:
                 pass
-            if relaunches < max_relaunches:
-                relaunches += 1
+            if progress_deaths < max_progress_deaths:
+                progress_deaths += 1
                 relaunch_retrain()
             frozen_since = None
         else:
