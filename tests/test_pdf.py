@@ -161,6 +161,68 @@ def test_tm_line_breaks_and_dehyphenation(tmp_path):
     assert "adaptive retrieval" in text         # de-hyphenated across wrap
 
 
+def test_objstm_differences_encoding(tmp_path):
+    """Fonts parked in a compressed object stream (/ObjStm) with a
+    /Differences re-encoding must decode through the glyph-name table —
+    the reference's system1-system2.pdf case, where missing ObjStm
+    support rendered 'fi' as 'Þ' and apostrophes as 'Õ'."""
+    # Object 7: font using encoding object 8; both live ONLY inside the
+    # ObjStm (no top-level `7 0 obj`).
+    font_obj = b"<< /Type /Font /Subtype /Type1 /Encoding 8 0 R >>"
+    enc_obj = (b"<< /Type /Encoding /Differences "
+               b"[ 2 /fi 39 /quoteright 97 /a/b/c/d/e/f/g/h/i ] >>")
+    header = b"7 0 8 " + str(len(font_obj) + 1).encode()
+    first = len(header) + 1
+    objstm_payload = header + b"\n" + font_obj + b"\n" + enc_obj
+    zdata = zlib.compress(objstm_payload)
+    extra = (b"\n9 0 obj << /Type /ObjStm /N 2 /First "
+             + str(first).encode() + b" /Filter /FlateDecode /Length "
+             + str(len(zdata)).encode() + b" >> stream\n" + zdata
+             + b"\nendstream endobj")
+    # "\002gure" -> "figure" (code 2 = fi), "it\047s" -> "it's"
+    content = b"BT /F2 10 Tf (a \002gure and it\047s deep) Tj ET"
+    pdf = _minimal_pdf(content, extra_objects=extra).replace(
+        b"/Font << /F1 5 0 R >>", b"/Font << /F2 7 0 R >>")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(pdf)
+    text = extract_pdf_text(str(p))
+    assert "a figure and it’s deep" in text
+
+
+def test_hyphen_rejoin_after_differences(tmp_path):
+    """Hyphenated wrap whose first half ends in a re-encoded ligature
+    ("signi\002-" / "cantly") must still re-join after decoding."""
+    enc_obj = b"<< /Type /Encoding /Differences [ 2 /fi ] >>"
+    font_obj = b"<< /Type /Font /Subtype /Type1 /Encoding 8 0 R >>"
+    header = b"7 0 8 " + str(len(font_obj) + 1).encode()
+    first = len(header) + 1
+    payload = header + b"\n" + font_obj + b"\n" + enc_obj
+    zdata = zlib.compress(payload)
+    extra = (b"\n9 0 obj << /Type /ObjStm /N 2 /First "
+             + str(first).encode() + b" /Filter /FlateDecode /Length "
+             + str(len(zdata)).encode() + b" >> stream\n" + zdata
+             + b"\nendstream endobj")
+    content = (b"BT /F2 10 Tf (signi\002-) Tj 0 -12 Td (cantly less) Tj ET")
+    pdf = _minimal_pdf(content, extra_objects=extra).replace(
+        b"/Font << /F1 5 0 R >>", b"/Font << /F2 7 0 R >>")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(pdf)
+    assert "significantly less" in extract_pdf_text(str(p))
+
+
+def test_line_break_ops_do_not_stack_blank_lines(tmp_path):
+    """ET + BT + Td per visual line must not produce '\\n\\n' between
+    consecutive wrapped lines — downstream chunkers treat blank lines as
+    paragraph boundaries and truncate sentences at wrap points."""
+    content = (b"BT /F1 12 Tf 72 700 Td (alpha beta) Tj ET "
+               b"BT /F1 12 Tf 72 686 Td (gamma delta) Tj ET")
+    p = tmp_path / "t.pdf"
+    p.write_bytes(_minimal_pdf(content, compress=False))
+    text = extract_pdf_text(str(p))
+    assert "alpha beta" in text and "gamma delta" in text
+    assert "\n\n" not in text[text.index("alpha"):text.index("delta")]
+
+
 def test_tm_same_y_does_not_split_words(tmp_path):
     """A same-y Tm (mid-line font switch / kerning reposition) must NOT
     insert a break inside a word."""
