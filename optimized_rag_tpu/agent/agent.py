@@ -64,7 +64,8 @@ class RAGAgent:
         s = self.settings
         self.llm = llm or DeterministicLLM(
             min_weighted=s.verification.extractive_min_weighted,
-            min_coverage=s.verification.extractive_min_coverage)
+            min_coverage=s.verification.extractive_min_coverage,
+            min_evidence_mass=s.verification.extractive_min_evidence_mass)
 
         # Reuse compiled executables across processes (utils/compile_cache):
         # must run before the first jitted call below.

@@ -37,6 +37,16 @@ class LLMProvider(Protocol):
 
 _QUESTION_WORDS = ("what", "who", "when", "where", "why", "how", "which")
 
+# Enumeration-question cue words (in the RAW query) and the sentence
+# structure they should retrieve: explicit item markers "(1) ... (2)" or
+# a counted-noun announcement ("three-stage process", "three kinds of").
+_ENUM_CUES = {"stages", "steps", "kinds", "types", "phases", "tiers",
+              "levels", "components", "parts", "categories"}
+_ENUM_MARKS = re.compile(
+    r"\(\d\)|\b(two|three|four|five|six|seven)[- ]"
+    r"(stage|step|kind|type|phase|tier|level|component|part|categor)",
+    re.IGNORECASE)
+
 
 class DeterministicLLM:
     """Rule-based stand-in producing well-formed outputs per task.
@@ -46,13 +56,16 @@ class DeterministicLLM:
     """
 
     def __init__(self, min_weighted: float = 2.6,
-                 min_coverage: float = 0.7):
+                 min_coverage: float = 0.7,
+                 min_evidence_mass: float = 1.45):
         # Relevance-bar thresholds (config.VerificationConfig
-        # extractive_min_weighted / extractive_min_coverage): calibrated
-        # on the round-3 QA sheet, validated on the fresh held-out
-        # probes in eval/holdout_probes.py.
+        # extractive_min_weighted / extractive_min_coverage /
+        # extractive_min_evidence_mass): calibrated on the QA sheet,
+        # validated on the fresh held-out probes in
+        # eval/holdout_probes.py.
         self.min_weighted = min_weighted
         self.min_coverage = min_coverage
+        self.min_evidence_mass = min_evidence_mass
         self.calls: List[tuple] = []
 
     # -- helpers ------------------------------------------------------------
@@ -334,17 +347,35 @@ class DeterministicLLM:
                     len(hits) + 2.0 * len(bi_hits),
                     (frozenset(hits), frozenset(bi_hits)))
 
+        # Enumeration questions ("What are the STAGES/KINDS of X?") are
+        # ANSWER-TYPE questions: the asker wants the sentence that lists
+        # the items, yet a title/summary sentence restating X's name
+        # always outscores it on entity-term overlap (observed: "What
+        # are the stages of Deep GraphRAG's hierarchical retrieval
+        # strategy?" picked the conclusion's one-line summary at 6.8
+        # weighted over the "(1) inter-community filtering; (2) ..."
+        # sentence at 2.1 — no bounded boost can honestly close a 3x
+        # entity-echo gap). So enumeration-structured candidates form a
+        # preferred pool, and the pool's best wins outright when it
+        # carries at least a quarter of the top score (below that it is
+        # an off-topic list, not the asked-for enumeration). Ranking
+        # only — best_weighted/best_raw for the refusal bars are
+        # pool-blind.
+        enum_q = bool(_ENUM_CUES.intersection(q_raw))
         cands = []               # (score, doc_idx, sent_idx, signature)
+        enum_marked = set()      # (doc_idx, sent_idx) with list structure
         best_raw = 0.0
         best_weighted = 0.0      # BEFORE the redundancy split
         sig_count: Dict = {}
         for i, j in live:
             s, raw, sig = score(sent_words[i][j], sent_sets[i][j])
             if s > 0:
-                cands.append((s, i, j, sig))
-                sig_count[sig] = sig_count.get(sig, 0) + 1
                 best_raw = max(best_raw, raw)
                 best_weighted = max(best_weighted, s)
+                if enum_q and _ENUM_MARKS.search(doc_sents[i][j]):
+                    enum_marked.add((i, j))
+                cands.append((s, i, j, sig))
+                sig_count[sig] = sig_count.get(sig, 0) + 1
         # Redundancy: N sentences matching the query in the identical
         # way (same hit/bigram signature — running headers, a proposal
         # sentence restated in abstract+intro+conclusion) are one piece
@@ -367,11 +398,28 @@ class DeterministicLLM:
             if live else set()
         q_mass = sum(w[t] for t in q_set) or 1e-9
         qcov = sum(w[t] for t in q_set & ctx_terms) / q_mass
+        # Observability: the values the refusal decision is about to use
+        # (reading them beats re-deriving the pipeline when a probe
+        # answers or a legitimate question refuses unexpectedly).
+        self.last_bar = {
+            "best_weighted": best_weighted, "qcov": qcov,
+            "best_raw": best_raw, "n_sents": n_sents,
+            "q_terms": sorted(q_set),
+            "missing_terms": sorted(q_set - ctx_terms)}
         # n_sents >= 8: in a tiny context every present term has df ~
         # n_sents, idf degenerates and the weighted score means nothing.
         if len(q_set) >= 4 and n_sents >= 8 \
                 and best_weighted < self.min_weighted \
                 and qcov < self.min_coverage:
+            cands = []
+        # Coverage-weighted evidence rail: in the low-coverage regime a
+        # strong-looking sentence can be built entirely from the query's
+        # generic half (the distinctive subject absent from the ENTIRE
+        # context), so the evidence required scales inversely with
+        # coverage — best_weighted * qcov must clear min_evidence_mass.
+        if len(q_set) >= 4 and n_sents >= 8 \
+                and qcov < self.min_coverage \
+                and best_weighted * qcov < self.min_evidence_mass:
             cands = []
         # Minimum-evidence bar: a multi-term query whose best sentence
         # shares only one content word is off-topic context, not an
@@ -384,6 +432,10 @@ class DeterministicLLM:
                     "context to answer that.")
         cands.sort(key=lambda t: (-t[0], t[1], t[2]))
         sc, i, j, win_sig = cands[0]
+        if enum_marked:
+            pool = [c for c in cands if (c[1], c[2]) in enum_marked]
+            if pool and pool[0][0] >= 0.25 * sc:
+                sc, i, j, win_sig = pool[0]
 
         def clean(sent: str) -> str:
             # Strip the SOURCE's own inline citation markers ("[22]" in

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 _CITE_RE = re.compile(r"\[(\d+)\]")
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 _ABBREV_TAIL = re.compile(
-    r"\b(?:Dr|Mr|Mrs|Ms|Prof|St|vs|etc|e\.g|i\.e|No)\.$")
+    r"\b(?:Dr|Mr|Mrs|Ms|Prof|St|vs|etc|e\.g|i\.e|No|et al|al|Fig|Eq|"
+    r"Sec|Tab|cf)\.$")
 
 
 def split_sentences(text: str) -> List[str]:

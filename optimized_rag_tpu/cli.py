@@ -62,7 +62,9 @@ def build_agent(settings: Settings, offline: bool = True,
     if llm is None:
         llm = DeterministicLLM(
             min_weighted=settings.verification.extractive_min_weighted,
-            min_coverage=settings.verification.extractive_min_coverage)
+            min_coverage=settings.verification.extractive_min_coverage,
+            min_evidence_mass=settings.verification
+            .extractive_min_evidence_mass)
     store = MetadataStore(os.path.join(settings.data_dir, "metadata.db"))
     agent = RAGAgent(settings, llm=llm, store=store)
     agent.load_indexes()  # restore device-side indexes if snapshotted

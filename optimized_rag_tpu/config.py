@@ -198,6 +198,17 @@ class VerificationConfig:
     # (eval/holdout_probes.py — VERDICT r3 next #5).
     extractive_min_weighted: float = 2.6
     extractive_min_coverage: float = 0.7
+    # Coverage-weighted evidence rail for the low-coverage regime
+    # (qcov < extractive_min_coverage): require best_weighted * qcov >=
+    # this mass. Rationale: when the context misses most of the query's
+    # distinctive idf mass, a strong-looking sentence is built from the
+    # query's generic half — the evidence needed should scale inversely
+    # with coverage. Observed post-encoder-swap: an off-topic probe's
+    # winner scored 3.2-3.3 weighted at coverage 0.363 (product 1.17)
+    # while the lowest legitimate answer sits at 4.08 x 0.428 = 1.75
+    # (docs/results_r4/bar_calibration.jsonl). 1.45 is the log-midpoint;
+    # validation stays on the untouched held-out probes.
+    extractive_min_evidence_mass: float = 1.45
 
 
 # ---------------------------------------------------------------------------

@@ -303,21 +303,38 @@ def _content_words(text: str) -> set:
 
 def _citation_validity(answer: str, sources: List[Dict]) -> Optional[bool]:
     """Every [N] resolves to a source AND the cited source shares content
-    with the sentence it cites. None = no citations present."""
+    with the sentence it cites. None = no citations present.
+
+    Both generators emit citations AFTER the sentence period
+    ("... fifteen percent. [5] Next sentence ..."), so the sentence
+    split leaves each citation at the START of the following fragment —
+    leading citation tokens therefore attach to the PRECEDING sentence
+    (without this, an answer whose consecutive sentences cite different
+    docs fails falsely; observed on es-dr-ivf)."""
     cits = [int(m) for m in _CIT.findall(answer)]
     if not cits:
         return None
     sents = re.split(r"(?<=[.!?])\s+", answer)
+    lead = re.compile(r"^\s*(?:\[\d+\]\s*)+")
+    checks = []                     # (citation number, owning body text)
+    prev_body = ""
     for sent in sents:
-        for m in _CIT.finditer(sent):
-            n = int(m.group(1))
-            if not (1 <= n <= len(sources)):
-                return False
-            src_text = str(sources[n - 1].get("text", ""))
-            body = _content_words(_CIT.sub(" ", sent))
-            if body and len(body & _content_words(src_text)) < min(
-                    3, len(body)):
-                return False
+        m = lead.match(sent)
+        rest = sent[m.end():] if m else sent
+        if m:
+            checks += [(int(n), prev_body)
+                       for n in _CIT.findall(m.group(0))]
+        checks += [(int(g.group(1)), rest) for g in _CIT.finditer(rest)]
+        if rest.strip():
+            prev_body = rest
+    for n, owner in checks:
+        if not (1 <= n <= len(sources)):
+            return False
+        src_text = str(sources[n - 1].get("text", ""))
+        body = _content_words(_CIT.sub(" ", owner))
+        if body and len(body & _content_words(src_text)) < min(
+                3, len(body)):
+            return False
     return True
 
 
