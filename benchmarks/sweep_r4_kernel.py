@@ -110,12 +110,15 @@ def main():
             q_ref[:].astype(c_ref.dtype), c_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        out_ref[0, :] = jnp.max(scores, axis=1)
+        out_ref[0, 0, :] = jnp.max(scores, axis=1)
 
     num_tiles = n // tile
 
     @jax.jit
     def floor_call(q):
+        # Output is [T, 1, B] with a (1, 1, B) block: Mosaic requires the
+        # last two block dims to divide (8, 128) or equal the array dims —
+        # a 2D (1, B) block over [T, B] fails that rule on real TPU.
         return pl.pallas_call(
             functools.partial(_floor_kernel,
                               precision=jax.lax.Precision.DEFAULT),
@@ -127,9 +130,9 @@ def main():
                 pl.BlockSpec((tile, d), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, b), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((num_tiles, b), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((num_tiles, 1, b), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * n * d,
                 bytes_accessed=n * d * corpus.dtype.itemsize,
