@@ -513,8 +513,12 @@ def extract_pdf_text(path: str) -> str:
     # system1-system2.pdf, where every wrap read as a paragraph
     # boundary and sentences truncated at arbitrary wrap points) —
     # while real paragraph boundaries virtually always follow
-    # sentence-ending punctuation and are left alone.
-    text = re.sub(r"(?<=[a-z,;])\n{1,2}(?=[a-z(])", " ", text)
+    # sentence-ending punctuation and are left alone. Digits join on
+    # both sides ("System 1 / thinking", "Table / 1 / aligns" wraps) and
+    # an uppercase continuation joins too ("aligns more closely with /
+    # System 2 thinking"); numbered headings stay separate because the
+    # line BEFORE a heading ends with sentence punctuation.
+    text = re.sub(r"(?<=[a-z,;0-9])\n{1,2}(?=[A-Za-z(0-9])", " ", text)
     text = re.sub(r"[ \t]+", " ", text)
     text = re.sub(r"\n{3,}", "\n\n", text).strip()
     if not text:
