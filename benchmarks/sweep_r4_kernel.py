@@ -105,6 +105,9 @@ def main():
         return qs[next(it) % len(qs)]
 
     # ---- floor: matmul + single max per tile --------------------------
+    # NB: the corpus MUST be a jit argument, never a closure capture — a
+    # closed-over device array is lowered as a 2.68 GB captured CONSTANT
+    # and the compile wedges serializing it through the tunnel.
     def _floor_kernel(q_ref, c_ref, out_ref, *, precision):
         scores = jax.lax.dot_general(
             q_ref[:].astype(c_ref.dtype), c_ref[:],
@@ -115,7 +118,7 @@ def main():
     num_tiles = n // tile
 
     @jax.jit
-    def floor_call(q):
+    def floor_call(q, c):
         # Output is [T, 1, B] with a (1, 1, B) block: Mosaic requires the
         # last two block dims to divide (8, 128) or equal the array dims —
         # a 2D (1, B) block over [T, B] fails that rule on real TPU.
@@ -135,22 +138,22 @@ def main():
             out_shape=jax.ShapeDtypeStruct((num_tiles, 1, b), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * n * d,
-                bytes_accessed=n * d * corpus.dtype.itemsize,
+                bytes_accessed=n * d * c.dtype.itemsize,
                 transcendentals=0),
-        )(q, corpus)
+        )(q, c)
 
-    ms = timed(lambda: floor_call(nxt()), lambda r: np.asarray(r[0]))
+    ms = timed(lambda: floor_call(nxt(), corpus), lambda r: np.asarray(r[0]))
     emit({"m": "floor_matmul_max", "ms": round(ms, 2), "b": b,
           "gbps": round(n * d * 2 / (ms / 1e3) / 1e9, 1)})
 
     # ---- packed extraction pass alone ---------------------------------
     @jax.jit
-    def packed_call(q):
-        (w,) = T._packed_pass(q, corpus, None, tile, 8, interp,
+    def packed_call(q, c):
+        (w,) = T._packed_pass(q, c, None, tile, 8, interp,
                               jax.lax.Precision.DEFAULT)
         return w
 
-    ms = timed(lambda: packed_call(nxt()), lambda r: np.asarray(r[0]))
+    ms = timed(lambda: packed_call(nxt(), corpus), lambda r: np.asarray(r[0]))
     emit({"m": "packed_pass", "ms": round(ms, 2),
           "gbps": round(n * d * 2 / (ms / 1e3) / 1e9, 1)})
 
@@ -214,12 +217,12 @@ def main():
         rng.integers(0, n, (b, r_cnt * groups), dtype=np.int32)))
 
     @jax.jit
-    def c1(q, fl):
-        g = corpus[fl]
-        return T._exact_rowwise_scores(q, g, corpus.dtype,
+    def c1(q, fl, c):
+        g = c[fl]
+        return T._exact_rowwise_scores(q, g, c.dtype,
                                        jax.lax.Precision.HIGHEST)
 
-    ms = timed(lambda: c1(nxt(), flat), lambda r: np.asarray(r[:2]),
+    ms = timed(lambda: c1(nxt(), flat, corpus), lambda r: np.asarray(r[:2]),
                iters=6)
     emit({"m": "c1_rescore", "ms": round(ms, 2),
           "rows_per_q": r_cnt * groups})
