@@ -46,7 +46,9 @@ SMOKE = False
 
 def timed(fn, fetch, iters=8, warm=2, depth=2):
     """Depth-pipelined ms/iter with per-iteration host fetch (the only
-    honest barrier through the tunneled runtime)."""
+    honest barrier through the tunneled runtime). The fetched value must
+    be SMALL (a checksum row, ids, or a reduced vector): a multi-MB fetch
+    is itself tens of ms through the tunnel and pollutes the number."""
     if SMOKE:  # interpret-mode correctness pass: one iteration, no warmup
         iters, warm, depth = 1, 0, 1
     for _ in range(warm):
@@ -60,6 +62,21 @@ def timed(fn, fetch, iters=8, warm=2, depth=2):
     while pend:
         fetch(pend.pop(0))
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def section(name):
+    """Isolate one measurement: a failed section emits an error line and
+    the sweep continues (the first run died whole on one VMEM OOM)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        try:
+            yield
+        except Exception as exc:
+            emit({"m": name, "error": repr(exc)[:300]})
+            log(f"section {name} failed: {exc!r}")
+    return cm()
 
 
 def main():
@@ -122,7 +139,10 @@ def main():
         # Output is [T, 1, B] with a (1, 1, B) block: Mosaic requires the
         # last two block dims to divide (8, 128) or equal the array dims —
         # a 2D (1, B) block over [T, B] fails that rule on real TPU.
-        return pl.pallas_call(
+        # Reduce IN-JIT: fetching the raw [T, 1, B] array is a 10.5 MB
+        # host transfer per iteration through the tunnel (~the whole
+        # measurement); the [B] max costs one tiny HBM re-read.
+        per_tile = pl.pallas_call(
             functools.partial(_floor_kernel,
                               precision=jax.lax.Precision.DEFAULT),
             interpret=interp,
@@ -141,30 +161,38 @@ def main():
                 bytes_accessed=n * d * c.dtype.itemsize,
                 transcendentals=0),
         )(q, c)
+        return jnp.max(per_tile[:, 0, :], axis=0)             # [B]
 
-    ms = timed(lambda: floor_call(nxt(), corpus), lambda r: np.asarray(r[0]))
-    emit({"m": "floor_matmul_max", "ms": round(ms, 2), "b": b,
-          "gbps": round(n * d * 2 / (ms / 1e3) / 1e9, 1)})
+    with section("floor_matmul_max"):
+        ms = timed(lambda: floor_call(nxt(), corpus), np.asarray)
+        emit({"m": "floor_matmul_max", "ms": round(ms, 2), "b": b,
+              "gbps": round(n * d * 2 / (ms / 1e3) / 1e9, 1)})
 
     # ---- packed extraction pass alone ---------------------------------
+    # Reduce in-jit for the same reason as the floor — AND because the
+    # raw [T, 2, B] f32 output returned as a program output triggers a
+    # scoped-VMEM stack allocation for relayout (18.68M > 16M OOM on the
+    # first run); a consumer op lets XLA stream it through HBM instead.
     @jax.jit
     def packed_call(q, c):
         (w,) = T._packed_pass(q, c, None, tile, 8, interp,
                               jax.lax.Precision.DEFAULT)
-        return w
+        return jnp.max(w, axis=0)                              # [2, B]
 
-    ms = timed(lambda: packed_call(nxt(), corpus), lambda r: np.asarray(r[0]))
-    emit({"m": "packed_pass", "ms": round(ms, 2),
-          "gbps": round(n * d * 2 / (ms / 1e3) / 1e9, 1)})
+    with section("packed_pass"):
+        ms = timed(lambda: packed_call(nxt(), corpus), np.asarray)
+        emit({"m": "packed_pass", "ms": round(ms, 2),
+              "gbps": round(n * d * 2 / (ms / 1e3) / 1e9, 1)})
 
     # ---- full certified -------------------------------------------------
     def cert(q):
         return T.pallas_topk_certified(q, corpus, k, tile=tile,
                                        groups=8, interpret=interp)
 
-    ms = timed(lambda: cert(nxt()), lambda r: np.asarray(r[1]))
-    emit({"m": "certified_full", "ms": round(ms, 2),
-          "qps": round(b / (ms / 1e3), 0)})
+    with section("certified_full"):
+        ms = timed(lambda: cert(nxt()), lambda r: np.asarray(r[1]))
+        emit({"m": "certified_full", "ms": round(ms, 2),
+              "qps": round(b / (ms / 1e3), 0)})
 
     # ---- certified with smaller covers ---------------------------------
     for ut in (8, 16):
@@ -172,60 +200,64 @@ def main():
             return T.pallas_topk_certified(q, corpus, k, tile=tile,
                                            groups=8, union_tiles=ut,
                                            interpret=interp)
-        ms = timed(lambda: cert_u(nxt()), lambda r: np.asarray(r[1]))
-        unc = int(np.asarray(cert_u(qs[0])[1])[-1, 0])
-        emit({"m": f"certified_union{ut}", "ms": round(ms, 2),
-              "uncovered": unc, "qps": round(b / (ms / 1e3), 0)})
+        with section(f"certified_union{ut}"):
+            ms = timed(lambda: cert_u(nxt()), lambda r: np.asarray(r[1]))
+            unc = int(np.asarray(cert_u(qs[0])[1])[-1, 0])
+            emit({"m": f"certified_union{ut}", "ms": round(ms, 2),
+                  "uncovered": unc, "qps": round(b / (ms / 1e3), 0)})
 
     # ---- lax.top_k cost over the c2 rescan block -----------------------
     for cols in (32 * tile, 8 * tile):
-        blk = jax.device_put(jnp.asarray(
-            rng.standard_normal((b, cols)).astype(np.float32)))
+        with section(f"lax_topk_{cols}"):
+            blk = jax.device_put(jnp.asarray(
+                rng.standard_normal((b, cols)).astype(np.float32)))
 
-        @jax.jit
-        def tk(x):
-            return jax.lax.top_k(x, k)
+            @jax.jit
+            def tk(x):
+                return jax.lax.top_k(x, k)
 
-        ms = timed(lambda: tk(blk), lambda r: np.asarray(r[0]),
-                   iters=6)
-        emit({"m": f"lax_topk_{cols}", "ms": round(ms, 2)})
+            ms = timed(lambda: tk(blk), lambda r: np.asarray(r[0]),
+                       iters=6)
+            emit({"m": f"lax_topk_{cols}", "ms": round(ms, 2)})
 
     # ---- two-stage alternative for the c2 merge -------------------------
     # top_k over [B, u*tile] vs per-tile top_k then a tiny merge: same
     # result set, different sort sizes — measure which the TPU prefers.
     for cols_t in (32,):
-        blk = jax.device_put(jnp.asarray(
-            rng.standard_normal((b, cols_t * tile)).astype(np.float32)))
+        with section(f"lax_topk_two_stage_{cols_t * tile}"):
+            blk = jax.device_put(jnp.asarray(
+                rng.standard_normal((b, cols_t * tile)).astype(np.float32)))
 
-        @jax.jit
-        def tk2(x, cols_t=cols_t):
-            x3 = x.reshape(b, cols_t, tile)
-            s1, p1 = jax.lax.top_k(x3, k)          # [b, u, k]
-            s2, p2 = jax.lax.top_k(s1.reshape(b, cols_t * k), k)
-            tile_of = p2 // k
-            within = jnp.take_along_axis(
-                p1.reshape(b, cols_t * k), p2, axis=1)
-            return s2, tile_of * tile + within
+            @jax.jit
+            def tk2(x, cols_t=cols_t):
+                x3 = x.reshape(b, cols_t, tile)
+                s1, p1 = jax.lax.top_k(x3, k)          # [b, u, k]
+                s2, p2 = jax.lax.top_k(s1.reshape(b, cols_t * k), k)
+                tile_of = p2 // k
+                within = jnp.take_along_axis(
+                    p1.reshape(b, cols_t * k), p2, axis=1)
+                return s2, tile_of * tile + within
 
-        ms = timed(lambda: tk2(blk), lambda r: np.asarray(r[0]), iters=6)
-        emit({"m": f"lax_topk_two_stage_{cols_t * tile}",
-              "ms": round(ms, 2)})
+            ms = timed(lambda: tk2(blk), lambda r: np.asarray(r[0]), iters=6)
+            emit({"m": f"lax_topk_two_stage_{cols_t * tile}",
+                  "ms": round(ms, 2)})
 
     # ---- c1 rescore cost alone -----------------------------------------
-    r_cnt, groups = k + max(k, 8), 8
-    flat = jax.device_put(jnp.asarray(
-        rng.integers(0, n, (b, r_cnt * groups), dtype=np.int32)))
+    with section("c1_rescore"):
+        r_cnt, groups = k + max(k, 8), 8
+        flat = jax.device_put(jnp.asarray(
+            rng.integers(0, n, (b, r_cnt * groups), dtype=np.int32)))
 
-    @jax.jit
-    def c1(q, fl, c):
-        g = c[fl]
-        return T._exact_rowwise_scores(q, g, c.dtype,
-                                       jax.lax.Precision.HIGHEST)
+        @jax.jit
+        def c1(q, fl, c):
+            g = c[fl]
+            s = T._exact_rowwise_scores(q, g, c.dtype,
+                                        jax.lax.Precision.HIGHEST)
+            return jnp.max(s, axis=1)                          # [B]
 
-    ms = timed(lambda: c1(nxt(), flat, corpus), lambda r: np.asarray(r[:2]),
-               iters=6)
-    emit({"m": "c1_rescore", "ms": round(ms, 2),
-          "rows_per_q": r_cnt * groups})
+        ms = timed(lambda: c1(nxt(), flat, corpus), np.asarray, iters=6)
+        emit({"m": "c1_rescore", "ms": round(ms, 2),
+              "rows_per_q": r_cnt * groups})
 
     # ---- end-to-end dispatch (headline protocol) ------------------------
     def e2e(q):
@@ -235,10 +267,11 @@ def main():
                                defer_certificate=True,
                                prefer_pallas=True if interp else None)
 
-    ms = timed(lambda: e2e(nxt()), lambda r: np.asarray(r[1]), iters=12)
-    unc = int(np.asarray(e2e(qs[0])[1])[-1, 0])
-    emit({"m": "dispatch_e2e_b%d" % b, "ms": round(ms, 2),
-          "qps": round(b / (ms / 1e3), 0), "uncovered": unc})
+    with section("dispatch_e2e"):
+        ms = timed(lambda: e2e(nxt()), lambda r: np.asarray(r[1]), iters=12)
+        unc = int(np.asarray(e2e(qs[0])[1])[-1, 0])
+        emit({"m": "dispatch_e2e_b%d" % b, "ms": round(ms, 2),
+              "qps": round(b / (ms / 1e3), 0), "uncovered": unc})
 
 
 if __name__ == "__main__":
