@@ -155,7 +155,8 @@ def main() -> None:
     import jax.numpy as jnp
     from benchmarks.common import make_corpus_device
     from optimized_rag_tpu.ops.topk import (
-        chunked_topk, pallas_topk, pallas_topk_certified)
+        chunked_topk, pallas_topk, pallas_topk_certified,
+        pallas_topk_certified_multi)
 
     N, D, K = 10 * (1 << 20), 128, 10
     B_HEAD, B_CMP = 1024, 512
@@ -183,14 +184,42 @@ def main() -> None:
     q512 = qbatches(B_CMP)
     q1024 = qbatches(B_HEAD)
 
-    def exact(qq):
-        """Certified-exact kernel; returns (s, ids, counter_row)."""
+    def exact_sub(qq, sub_batch):
+        """Certified-exact kernel; returns (s, ids, counter_row).
+
+        ``sub_batch`` < len(qq) routes through the single-dispatch
+        multi-batch wrapper — same kernel, same certificate, smaller
+        per-call VMEM. The relay's AOT compile helper enforces a 16M
+        scoped-VMEM cap that has shifted between rounds (round 4: the
+        b1024/tile=4096 shape stopped compiling until a kernel revert);
+        the sub-batched route is the fallback that always fits.
+        """
         if on_tpu:
-            s, packed = pallas_topk_certified(qq, corpus, K, tile=TILE,
-                                              groups=8)
+            if sub_batch < qq.shape[0]:
+                s, packed = pallas_topk_certified_multi(
+                    qq, corpus, K, sub_batch=sub_batch, tile=TILE, groups=8)
+            else:
+                s, packed = pallas_topk_certified(qq, corpus, K, tile=TILE,
+                                                  groups=8)
             return s, packed[:-1], packed[-1:]
         s, i = chunked_topk(qq, corpus, K, chunk=1 << 17)
         return s, i, None
+
+    # Probe-compile the headline shape; on a compile failure fall back to
+    # 2x512 sub-batches in one dispatch rather than losing the round.
+    head_sub = B_HEAD
+    if on_tpu:
+        try:
+            np.asarray(exact_sub(q1024[0], head_sub)[2])
+        except Exception as exc:
+            log(f"b{B_HEAD} certified compile failed ({exc!r:.200}); "
+                f"falling back to sub_batch=512 single-dispatch")
+            head_sub = 512
+            _PARTIAL["headline_sub_batch"] = head_sub
+
+    def exact(qq):
+        return exact_sub(qq, head_sub if qq.shape[0] == B_HEAD else
+                         qq.shape[0])
 
     def fast(qq):
         """Approximate ANN mode (explicit opt-in path)."""
@@ -267,7 +296,7 @@ def main() -> None:
 
             def exact_multi(qq):
                 s, packed = pallas_topk_certified_multi(
-                    qq, corpus, K, sub_batch=B_HEAD, tile=TILE, groups=8)
+                    qq, corpus, K, sub_batch=head_sub, tile=TILE, groups=8)
                 return s, packed[:-1], packed[-1:]
 
             _, _, cov_m = exact_multi(qmb[0])
