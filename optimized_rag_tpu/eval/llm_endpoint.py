@@ -16,7 +16,7 @@ The scripted model:
     the same instructions; the ``task=`` tag is client-side only and
     never crosses the HTTP boundary),
   * answers via the same extractive logic as ``DeterministicLLM``,
-  * actually translates Portuguese/Spanish queries word-by-word with a
+  * actually translates pt/es/fr/de queries word-by-word with a
     small dictionary — enough for the cross-lingual QA section to
     exercise translate -> retrieve -> generate -> verify over English
     documents (VERDICT r3 next #4b).
@@ -190,19 +190,94 @@ _ES_EN = {
 }
 
 
+_FR_EN = {
+    "quel": "what", "quelle": "what", "quels": "which",
+    "quelles": "which", "est": "is", "sont": "are", "le": "the",
+    "la": "the", "les": "the", "un": "a", "une": "a", "de": "of",
+    "du": "of the", "des": "of the", "au": "to the", "aux": "to the",
+    "taille": "size", "unité": "unit", "unite": "unit",
+    "matrice": "matrix", "combien": "how much", "quantité": "amount",
+    "quantite": "amount", "mémoire": "memory", "memoire": "memory",
+    "vectorielle": "vector", "possède": "has", "possede": "has",
+    "cœur": "core", "coeur": "core", "quand": "when",
+    "similarité": "similarity", "similarite": "similarity",
+    "cosinus": "cosine", "égale": "equal", "egale": "equal",
+    "produit": "product", "scalaire": "dot", "comment": "how",
+    "réduit": "reduces", "reduit": "reduces", "coût": "cost",
+    "cout": "cost", "recherche": "search", "trois": "three",
+    "types": "kinds", "type": "kind", "agent": "agent",
+    "ratio": "ratio", "support": "support", "réponse": "answer",
+    "reponse": "answer", "doit": "must", "atteindre": "reach",
+    "pour": "for", "être": "be", "etre": "be", "acceptée": "accepted",
+    "acceptee": "accepted", "capitale": "capital",
+    "australie": "australia", "qui": "who", "a": "has",
+    "gagné": "won", "gagne": "won", "prix": "prize",
+    "physique": "physics", "en": "in", "et": "and", "dans": "in",
+    "avec": "with", "sans": "without", "ne": "not", "pas": "not",
+    "il": "it", "elle": "it", "stocke": "stores", "indice": "index",
+    # Hyphenated interrogative inversions arrive as single tokens.
+    "est-elle": "is", "est-il": "is", "réduit-il": "reduces",
+    "reduit-il": "reduces", "doit-elle": "must", "doit-il": "must",
+    "a-t-il": "has", "a-t-elle": "has", "possède-t-il": "has",
+}
+
+# German question vocabulary. German compounds are single words a
+# word-by-word pass cannot decompose (a hosted translator handles them
+# lexically too), so the technical compounds map to their English
+# noun phrases directly; word order is already head-last like English,
+# so no inversion rule applies (romance-only below).
+_DE_EN = {
+    "welche": "which", "welcher": "which", "welches": "which",
+    "was": "what", "wie": "how", "ist": "is", "sind": "are",
+    "die": "the", "das": "the", "den": "the", "dem": "the",
+    "der": "the", "des": "of the", "ein": "a", "eine": "a",
+    "einen": "a", "einem": "a", "einer": "a", "größe": "size",
+    "groesse": "size", "hat": "has", "haben": "have",
+    "matrixeinheit": "matrix unit", "vektorspeicher": "vector memory",
+    "kern": "core", "wann": "when", "gleich": "equal to",
+    "kosinus-ähnlichkeit": "cosine similarity",
+    "kosinusähnlichkeit": "cosine similarity",
+    "skalarprodukt": "dot product", "reduziert": "reduces",
+    "ivf-index": "IVF index", "suchkosten": "search cost",
+    "kosten": "cost", "suche": "search", "drei": "three",
+    "arten": "kinds", "art": "kind", "von": "of",
+    "speicher": "memory", "agenten": "agent", "agent": "agent",
+    "unterstützungsverhältnis": "support ratio", "muss": "must",
+    "antwort": "answer", "erreichen": "reach", "um": "to", "zu": "to",
+    "akzeptiert": "accepted", "werden": "be", "hauptstadt": "capital",
+    "australien": "australia", "wer": "who",
+    "nobelpreis": "Nobel prize", "für": "for", "fuer": "for",
+    "physik": "physics", "gewonnen": "won", "viel": "much",
+    "nicht": "not", "und": "and", "mit": "with", "ohne": "without",
+    "im": "in the", "in": "in", "zur": "to the", "zum": "to the",
+    "es": "it", "man": "one", "wieviel": "how much", "bei": "at",
+    "auf": "on", "standard-fragmentgröße": "default chunk size",
+    "fragmentgröße": "chunk size", "überlappung": "overlap",
+}
+
 # Multiword units that word-by-word translation would mangle.
 _MULTI = [("por que", "why"), ("por quê", "why"), ("o que", "what"),
           ("por qué", "why"), ("qué es", "what is"),
           ("meia vida", "half-life"), ("produto escalar", "dot product"),
           ("producto escalar", "dot product"),
-          ("força bruta", "brute force"), ("fuerza bruta", "brute force")]
+          ("força bruta", "brute force"), ("fuerza bruta", "brute force"),
+          ("produit scalaire", "dot product"),
+          ("force brute", "brute force"),
+          ("qu'est-ce que", "what"), ("est-ce que", ""),
+          ("wie viel", "how much"), ("wie groß", "how large")]
+
+# French elisions: "l'unité" -> "the unité" before word-by-word lookup.
+_FR_ELISIONS = [("l'", "the "), ("d'", "of "), ("qu'", "that "),
+                ("n'", "not "), ("c'", "it "), ("s'", ""), ("j'", "I ")]
 
 # Adjective forms (source-language): Romance adjectives FOLLOW the noun,
 # English ones precede — "memória vetorial" -> "vector memory".
 _ADJ = {"vetorial", "semântica", "semantica", "densa", "denso", "exata",
         "exato", "léxica", "lexica", "bruta", "adaptativos", "adaptativa",
         "eficiente", "mínimo", "minimo", "hierárquica", "hierarquica",
-        "vectorial", "semántica", "exacta", "adaptativa", "jerárquica"}
+        "vectorial", "semántica", "exacta", "adaptativa", "jerárquica",
+        "vectorielle", "sémantique", "semantique", "exacte", "lexicale",
+        "hiérarchique", "hierarchique", "adaptatifs", "adaptative"}
 
 # Function-word translations (articles/prepositions/copulas): nouns are
 # everything NOT in this set — used by the noun-phrase inversion below.
@@ -214,22 +289,29 @@ _FUNCTION_EN = {"the", "a", "an", "of", "of the", "in", "in the", "is",
 
 
 def translate_to_english(query: str) -> str:
-    """Scripted pt/es -> en translation preserving unknown terms
+    """Scripted pt/es/fr/de -> en translation preserving unknown terms
     (technical tokens like "bfloat16" or "TPU" pass through).
 
     Word-by-word plus one real grammar rule: Romance noun compounds are
-    head-first ("unidade de matriz", "similaridade de cosseno") while
+    head-first ("unidade de matriz", "similarité de cosinus") while
     English is head-last — "N1 de N2" inverts to "N2 N1" ("matrix
     unit", "cosine similarity") so retrieval sees the English bigram.
+    German word order is already head-last; its technical compounds
+    (single words) map to English noun phrases in the table instead.
     """
     from optimized_rag_tpu.utils.lang import detect_language
     lang = detect_language(query)
-    table = {"pt": _PT_EN, "es": _ES_EN}.get(lang)
+    table = {"pt": _PT_EN, "es": _ES_EN, "fr": _FR_EN,
+             "de": _DE_EN}.get(lang)
     if table is None:
         return query
+    romance = lang != "de"
     low = query
     for src, dst in _MULTI:
         low = re.sub(re.escape(src), dst, low, flags=re.IGNORECASE)
+    if lang == "fr":
+        for src, dst in _FR_ELISIONS:
+            low = re.sub(re.escape(src), dst, low, flags=re.IGNORECASE)
     toks = []                              # (pre, word, post) or raw
     for raw in low.split():
         m = re.match(r"^([^\wÀ-ÿ]*)([\wÀ-ÿ-]+)([^\wÀ-ÿ]*)$", raw)
@@ -254,20 +336,20 @@ def translate_to_english(query: str) -> str:
         # Noun + following adjective swap: "memória vetorial" ->
         # "vector memory".
         nxt = toks[i + 1] if i + 1 < len(toks) else None
-        if (not post and is_noun(word) and isinstance(nxt, tuple)
+        if (romance and not post and is_noun(word) and isinstance(nxt, tuple)
                 and not nxt[0] and nxt[1].lower() in _ADJ):
             out.append(pre + tr(nxt[1]) + " " + tr(word) + nxt[2])
             i += 2
             continue
         # Collect a maximal "N (de N)+" compound chain and reverse it:
         # "tamanho da unidade de matriz da TPU" -> "TPU matrix unit size".
-        if not post and is_noun(word):
+        if romance and not post and is_noun(word):
             chain = [word]
             j = i + 1
             while j + 1 < len(toks):
                 link, noun = toks[j], toks[j + 1]
                 if not (isinstance(link, tuple) and isinstance(noun, tuple)
-                        and link[1].lower() in ("de", "do", "da")
+                        and link[1].lower() in ("de", "do", "da", "du")
                         and not link[0] and not link[2] and not noun[0]
                         and is_noun(noun[1])):
                     break

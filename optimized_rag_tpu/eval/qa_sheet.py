@@ -288,6 +288,77 @@ ES_SHEET: List[QAItem] = [
            unanswerable=True),
 ]
 
+# French cross-lingual section, same design as PT/ES: the third source
+# language through utils/lang.py identification + the online provider's
+# scripted translation (elisions like "l'unité" and noun-adjective
+# inversion are French-specific grammar the translator handles).
+FR_SHEET: List[QAItem] = [
+    QAItem("fr-hw-mxu", "Quelle est la taille de l'unité de matrice "
+           "du TPU ?",
+           ["128 by 128", "128x128", "128 × 128"],
+           source_hint="tpu_hardware"),
+    QAItem("fr-hw-vmem", "Combien de mémoire vectorielle possède un "
+           "cœur du TPU ?",
+           ["16 megabytes", "16 mb"], source_hint="tpu_hardware"),
+    QAItem("fr-dr-cosine",
+           "Quand la similarité de cosinus est-elle égale au produit "
+           "scalaire ?",
+           ["normalized to unit length", "unit length"],
+           source_hint="dense_retrieval"),
+    QAItem("fr-dr-ivf", "Comment l'index IVF réduit-il le coût de "
+           "recherche ?",
+           ["nprobe closest clusters", "k-means centroids",
+            "partitions the corpus into clusters"],
+           source_hint="dense_retrieval"),
+    QAItem("fr-mt-kinds", "Quels sont les trois types de mémoire de "
+           "l'agent ?",
+           ["core memory", "archival", "recall"],
+           source_hint="memory_tiers"),
+    QAItem("fr-vf-support",
+           "Quel ratio de support une réponse doit-elle atteindre pour "
+           "être acceptée ?", ["0.70"], source_hint="verification"),
+    # Unanswerable FR probes — refusal is the correct outcome.
+    QAItem("fr-un-capital", "Quelle est la capitale de l'Australie ?",
+           unanswerable=True),
+    QAItem("fr-un-nobel",
+           "Qui a gagné le prix Nobel de physique en 1921 ?",
+           unanswerable=True),
+]
+
+# German cross-lingual section: a NON-Romance source language — German
+# word order is already head-last and its technical terms are single-
+# word compounds ("Matrixeinheit", "Skalarprodukt"), so it exercises a
+# different translation path (table-mapped compounds, no inversion).
+DE_SHEET: List[QAItem] = [
+    QAItem("de-hw-mxu", "Welche Größe hat die Matrixeinheit der TPU?",
+           ["128 by 128", "128x128", "128 × 128"],
+           source_hint="tpu_hardware"),
+    QAItem("de-hw-vmem", "Wie viel Vektorspeicher hat ein Kern der TPU?",
+           ["16 megabytes", "16 mb"], source_hint="tpu_hardware"),
+    QAItem("de-dr-cosine",
+           "Wann ist die Kosinus-Ähnlichkeit gleich dem Skalarprodukt?",
+           ["normalized to unit length", "unit length"],
+           source_hint="dense_retrieval"),
+    QAItem("de-dr-ivf", "Wie reduziert der IVF-Index die Suchkosten?",
+           ["nprobe closest clusters", "k-means centroids",
+            "partitions the corpus into clusters"],
+           source_hint="dense_retrieval"),
+    QAItem("de-mt-kinds", "Was sind die drei Arten von Speicher des "
+           "Agenten?",
+           ["core memory", "archival", "recall"],
+           source_hint="memory_tiers"),
+    QAItem("de-vf-support",
+           "Welches Unterstützungsverhältnis muss eine Antwort "
+           "erreichen, um akzeptiert zu werden?",
+           ["0.70"], source_hint="verification"),
+    # Unanswerable DE probes — refusal is the correct outcome.
+    QAItem("de-un-capital", "Was ist die Hauptstadt von Australien?",
+           unanswerable=True),
+    QAItem("de-un-nobel",
+           "Wer hat 1921 den Nobelpreis für Physik gewonnen?",
+           unanswerable=True),
+]
+
 _NO_INFO = re.compile(
     r"(don't|do not|does not) have (enough|sufficient) information"
     r"|cannot answer|no relevant", re.IGNORECASE)
@@ -450,7 +521,7 @@ def main(argv=None) -> int:
                          "section ('none' to disable)")
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--no-pt", action="store_true",
-                    help="skip the Portuguese cross-lingual section")
+                    help="skip the cross-lingual sections (pt/es/fr/de)")
     args = ap.parse_args(argv)
     sheet = list(QA_SHEET)
     pdf_dir = None if args.pdf_docs in (None, "none") else args.pdf_docs
@@ -478,43 +549,42 @@ def main(argv=None) -> int:
             / max(len(pdf_probes), 1))
         result["summary"]["pdf_n"] = len(pdf_rows)
     if not args.no_pt and not args.local_lm:
-        # Cross-lingual PT section over the ONLINE provider path: a real
+        # Cross-lingual sections over the ONLINE provider path: a real
         # loopback chat-completions endpoint whose scripted model
         # translates; measures the translate->retrieve->generate->verify
-        # pipeline, not a hosted LLM's translation quality.
+        # pipeline, not a hosted LLM's translation quality. Four source
+        # languages (pt/es/fr/de) — every language utils/lang.py
+        # identifies gets a graded end-to-end section.
         from optimized_rag_tpu.eval.llm_endpoint import MockOpenAIServer
-        print("pt-* section (online provider path):", file=sys.stderr)
+        lang_sheets = [("pt", PT_SHEET), ("es", ES_SHEET),
+                       ("fr", FR_SHEET), ("de", DE_SHEET)]
         with MockOpenAIServer() as srv:
             prev = os.environ.get("ORAG_LLM_API_BASE")
             os.environ["ORAG_LLM_API_BASE"] = srv.api_base
             try:
-                pt_agent = build_agent(extra_docs=args.docs, online=True)
-                pt_result = run_sheet(pt_agent, sheet=PT_SHEET)
-                print("es-* section (online provider path):",
-                      file=sys.stderr)
-                es_result = run_sheet(pt_agent, sheet=ES_SHEET)
+                xl_agent = build_agent(extra_docs=args.docs, online=True)
+                for tag, lang_sheet in lang_sheets:
+                    print(f"{tag}-* section (online provider path):",
+                          file=sys.stderr)
+                    xl_result = run_sheet(xl_agent, sheet=lang_sheet)
+                    result["rows"] += xl_result["rows"]
+                    ans = [r for r in xl_result["rows"]
+                           if not r["unanswerable"]]
+                    probes = [r for r in xl_result["rows"]
+                              if r["unanswerable"]]
+                    result["summary"][f"{tag}_accuracy"] = (
+                        sum(r["correct"] for r in ans) / max(len(ans), 1))
+                    result["summary"][f"{tag}_probes_refused"] = (
+                        sum(r["correct"] for r in probes)
+                        / max(len(probes), 1))
+                    result["summary"][f"{tag}_n"] = len(xl_result["rows"])
             finally:
                 if prev is None:
                     os.environ.pop("ORAG_LLM_API_BASE", None)
                 else:
                     os.environ["ORAG_LLM_API_BASE"] = prev
-        result["rows"] += pt_result["rows"]
-        pt_ans = [r for r in pt_result["rows"] if not r["unanswerable"]]
-        pt_probes = [r for r in pt_result["rows"] if r["unanswerable"]]
-        result["summary"]["pt_accuracy"] = (
-            sum(r["correct"] for r in pt_ans) / max(len(pt_ans), 1))
-        result["summary"]["pt_probes_refused"] = (
-            sum(r["correct"] for r in pt_probes) / max(len(pt_probes), 1))
-        result["summary"]["pt_n"] = len(pt_result["rows"])
-        result["summary"]["pt_provider"] = "openai-compatible loopback"
-        result["rows"] += es_result["rows"]
-        es_ans = [r for r in es_result["rows"] if not r["unanswerable"]]
-        es_probes = [r for r in es_result["rows"] if r["unanswerable"]]
-        result["summary"]["es_accuracy"] = (
-            sum(r["correct"] for r in es_ans) / max(len(es_ans), 1))
-        result["summary"]["es_probes_refused"] = (
-            sum(r["correct"] for r in es_probes) / max(len(es_probes), 1))
-        result["summary"]["es_n"] = len(es_result["rows"])
+        result["summary"]["xlingual_provider"] = (
+            "openai-compatible loopback")
     s = result["summary"]
     print(json.dumps(s, indent=2))
     if args.json_out:

@@ -85,7 +85,7 @@ def detect_language(text: str, margin: float = 0.05,
     path. ``floor`` is the minimum stopword-mass fraction; ``margin``
     is how far a non-English winner must beat the English score.
     """
-    tokens = re.findall(r"[a-zà-ÿœ]+(?:'[a-z]+)?", (text or "").lower())
+    tokens = re.findall(r"[a-zà-ÿœß]+(?:'[a-z]+)?", (text or "").lower())
     if not tokens:
         return "en"
     n = len(tokens)

@@ -89,6 +89,62 @@ def test_translate_covers_es_sheet():
             assert word in low, (item.id, word, low)
 
 
+def test_translate_covers_fr_sheet():
+    """Every FR_SHEET question translates with its content terms intact
+    (elisions like "l'unité" and fr noun-compound inversion included)."""
+    from optimized_rag_tpu.eval.qa_sheet import FR_SHEET
+    need = {
+        "fr-hw-mxu": ("matrix", "unit", "size"),
+        "fr-hw-vmem": ("vector", "memory", "core"),
+        "fr-dr-cosine": ("cosine", "similarity", "dot product"),
+        "fr-dr-ivf": ("ivf", "search", "cost"),
+        "fr-mt-kinds": ("three", "memory", "kinds", "agent"),
+        "fr-vf-support": ("support", "ratio", "answer", "accepted"),
+        "fr-un-capital": ("capital", "australia"),
+        "fr-un-nobel": ("who", "won", "nobel", "physics", "1921"),
+    }
+    for item in FR_SHEET:
+        low = translate_to_english(item.question).lower()
+        for word in need[item.id]:
+            assert word in low, (item.id, word, low)
+
+
+def test_translate_covers_de_sheet():
+    """German: non-Romance word order, single-word technical compounds
+    ("Matrixeinheit" -> "matrix unit") mapped by the table, no
+    inversion rule."""
+    from optimized_rag_tpu.eval.qa_sheet import DE_SHEET
+    need = {
+        "de-hw-mxu": ("matrix unit", "size"),
+        "de-hw-vmem": ("vector memory", "core"),
+        "de-dr-cosine": ("cosine similarity", "dot product"),
+        "de-dr-ivf": ("ivf index", "search cost"),
+        "de-mt-kinds": ("three", "memory", "kinds", "agent"),
+        "de-vf-support": ("support ratio", "answer", "accepted"),
+        "de-un-capital": ("capital", "australia"),
+        "de-un-nobel": ("who", "won", "nobel prize", "physics", "1921"),
+    }
+    for item in DE_SHEET:
+        low = translate_to_english(item.question).lower()
+        for word in need[item.id]:
+            assert word in low, (item.id, word, low)
+
+
+def test_lang_identifies_all_sheet_questions():
+    """utils/lang.py routes every cross-lingual sheet question to its
+    language (the translation gate rides on this), and leaves English
+    and technical fragments alone."""
+    from optimized_rag_tpu.eval.qa_sheet import (
+        DE_SHEET, ES_SHEET, FR_SHEET, PT_SHEET)
+    from optimized_rag_tpu.utils.lang import detect_language
+    for lang, sheet_ in (("pt", PT_SHEET), ("es", ES_SHEET),
+                         ("fr", FR_SHEET), ("de", DE_SHEET)):
+        for item in sheet_:
+            assert detect_language(item.question) == lang, item.id
+    assert detect_language("What is the default chunk size?") == "en"
+    assert detect_language("bfloat16 MXU pallas pjit") == "en"
+
+
 def test_server_rejects_bad_api_key():
     import urllib.error
     with MockOpenAIServer(require_key="sk-right") as srv:
