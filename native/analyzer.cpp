@@ -57,6 +57,17 @@ inline bool is_word_byte(unsigned char c) {
   return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9');
 }
 
+// Python's \s over ASCII: \t \n \v \f \r, space, and \x1c-\x1f (file/
+// group/record/unit separators are unicode whitespace in Python 3).
+// The tokenizer regexes emit a single token for ANY other non-word
+// char — including control bytes like \x01 or \x7f — so the native
+// paths must too, or the same text yields different id sequences
+// depending on .so availability (verified divergence on "a\x7fb").
+inline bool is_py_space(unsigned char c) {
+  return c == ' ' || (c >= '\t' && c <= '\r') ||
+         (c >= 0x1c && c <= 0x1f);
+}
+
 // Must match _light_stem in optimized_rag_tpu/index/lexical.py:
 // suffix strip + trailing-double-consonant collapse + trailing-e strip;
 // digit-bearing tokens (bfloat16, v5e) pass through unchanged.
@@ -183,8 +194,9 @@ int64_t orag_model_tokenize(const char* text, int64_t len,
       tok.push_back(static_cast<char>(c));
     } else {
       flush_word();
-      // Single punctuation tokens: printable, non-space ASCII.
-      if (c > ' ' && c < 127) {
+      // Single punctuation token for every non-space byte (parity with
+      // the Python regex [^\sa-z0-9], which matches control bytes too).
+      if (!is_py_space(c) && c < 128) {
         char single = static_cast<char>(c);
         emit(&single, 1);
       }
@@ -305,9 +317,10 @@ int64_t orag_vocab_tokenize(int64_t handle, const char* text, int64_t len,
       tok.push_back(static_cast<char>(c));
     } else {
       flush_word();
-      if (c > ' ' && c < 127) {
-        // single punctuation token: vocab lookup first (single
-        // non-alnum chars can be learned words), then hash.
+      if (!is_py_space(c) && c < 128) {
+        // single token for every non-space byte (Python-regex parity;
+        // see is_py_space): vocab lookup first (single non-alnum chars
+        // can be learned words), then hash.
         char single = static_cast<char>(c);
         std::string s1(1, single);
         auto hit = st->vocab.find(s1);

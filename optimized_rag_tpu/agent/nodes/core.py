@@ -304,10 +304,14 @@ def rerank_and_eval(state: AgentState, agent) -> None:
     # must not silently drop the one citable multi-hop surface. It
     # rides first so an equal-evidence tie resolves to the composed
     # chain rather than either half.
-    kept = {id(d) for d in docs}
+    # Membership by (doc_id, source), not object identity: the
+    # compressor REBUILDS surviving docs (new RetrievedDoc objects), so
+    # an id() check would re-pin a chain doc that already survived into
+    # ``docs`` — duplicating its evidence and its citation number.
+    kept = {(d.doc_id, d.source) for d in docs}
     kg_pinned = [d for d in state.rag_context
                  if d.source == Source.KNOWLEDGE_GRAPH
-                 and id(d) not in kept]
+                 and (d.doc_id, d.source) not in kept]
     state.rag_context = kg_pinned + docs
 
 

@@ -38,8 +38,14 @@ import jax.numpy as jnp
 _CITE_RE = re.compile(r"\[(\d+)\]")
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 _ABBREV_TAIL = re.compile(
-    r"\b(?:Dr|Mr|Mrs|Ms|Prof|St|vs|etc|e\.g|i\.e|No|et al|al|Fig|Eq|"
+    r"\b(?:Dr|Mr|Mrs|Ms|Prof|St|vs|e\.g|i\.e|et al|al|Fig|Eq|"
     r"Sec|Tab|cf)\.$")
+# Context-dependent tails: "No." is an abbreviation only before a
+# number ("No. 5"); "etc." usually ENDS its sentence — join only a
+# lowercase continuation. Treating them unconditionally merged real
+# sentence pairs ("Is it supported? No. The fallback is used.").
+_NO_TAIL = re.compile(r"\bNo\.$")
+_ETC_TAIL = re.compile(r"\betc\.$")
 
 
 def split_sentences(text: str) -> List[str]:
@@ -49,10 +55,14 @@ def split_sentences(text: str) -> List[str]:
     parts = [s.strip() for s in _SENT_RE.split(text) if s.strip()]
     out: List[str] = []
     for p in parts:
-        if out and _ABBREV_TAIL.search(out[-1]):
-            out[-1] = out[-1] + " " + p
-        else:
-            out.append(p)
+        if out:
+            prev = out[-1]
+            if (_ABBREV_TAIL.search(prev)
+                    or (_NO_TAIL.search(prev) and p[:1].isdigit())
+                    or (_ETC_TAIL.search(prev) and p[:1].islower())):
+                out[-1] = prev + " " + p
+                continue
+        out.append(p)
     return out
 
 

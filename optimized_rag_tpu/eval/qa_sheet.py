@@ -393,7 +393,13 @@ def _citation_validity(answer: str, sources: List[Dict]) -> Optional[bool]:
         m = lead.match(sent)
         rest = sent[m.end():] if m else sent
         if m:
-            checks += [(int(n), prev_body)
+            # A leading citation belongs to the preceding sentence —
+            # except on the FIRST sentence, where there is none: own it
+            # to the sentence it heads, otherwise '[3] Unrelated.' would
+            # grade valid against any source (empty body skips the
+            # overlap check).
+            owner = prev_body if prev_body.strip() else rest
+            checks += [(int(n), owner)
                        for n in _CIT.findall(m.group(0))]
         checks += [(int(g.group(1)), rest) for g in _CIT.finditer(rest)]
         if rest.strip():

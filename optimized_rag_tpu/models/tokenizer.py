@@ -14,6 +14,7 @@ available locally, models/loader.py can swap one in behind the same API.
 from __future__ import annotations
 
 import re
+import threading
 
 import numpy as np
 
@@ -169,6 +170,8 @@ class VocabTokenizer(HashTokenizer):
         self._space = vocab_size - self._hash_base
         self._native_handle: int | None = None
         self._native_tried = False
+        self._native_free = None       # bound at build; usable in __del__
+        self._native_lock = threading.Lock()
 
     @classmethod
     def train(cls, texts, vocab_size: int = 32768, max_len: int = 512,
@@ -195,10 +198,18 @@ class VocabTokenizer(HashTokenizer):
         # tokenization is the encode() hot loop on 1-core serving hosts.
         from optimized_rag_tpu import native
         if not self._native_tried:
-            self._native_tried = True
-            self._native_handle = native.vocab_build(
-                self.words, self.vocab_size, NUM_SPECIAL,
-                _TRIGRAM_SPLIT_LEN)
+            # Build under a lock: two first-tokenize threads would both
+            # build and leak the loser's C++ vocab map otherwise.
+            with self._native_lock:
+                if not self._native_tried:
+                    self._native_handle = native.vocab_build(
+                        self.words, self.vocab_size, NUM_SPECIAL,
+                        _TRIGRAM_SPLIT_LEN)
+                    if self._native_handle is not None:
+                        # Bind the free function now: __del__ at
+                        # interpreter shutdown cannot import safely.
+                        self._native_free = native.vocab_free
+                    self._native_tried = True
         if self._native_handle is not None:
             fast = native.vocab_tokenize(self._native_handle, text)
             if fast is not None:
@@ -210,6 +221,19 @@ class VocabTokenizer(HashTokenizer):
                 ids.extend(self._tid("##" + w[i:i + 3])
                            for i in range(0, len(w) - 2, 3))
         return ids
+
+    def __del__(self):
+        # Release the C++ vocab map (a ~32k-entry unordered_map per
+        # instance lives in a process-global registry that nothing else
+        # erases; agents/tests construct many tokenizers).
+        h = getattr(self, "_native_handle", None)
+        free = getattr(self, "_native_free", None)
+        if h is not None and free is not None:
+            try:
+                free(h)
+            except Exception:
+                pass
+            self._native_handle = None
 
     def save(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as f:

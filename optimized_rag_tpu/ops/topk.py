@@ -780,12 +780,17 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
                 # VMEM caps a single certified call at ~1024 queries
                 # ([B, tile] f32 score block); anything larger MUST go
                 # through the multi-dispatch, padded to a whole number of
-                # sub-batches (zero queries are valid unit vectors' duals:
-                # they score the +2.0 shift uniformly and are sliced off).
+                # sub-batches. Pad rows REPEAT the first query: a zero
+                # pad row scores 0 everywhere, making its tau 0 and every
+                # tile's upper bound "suspicious" — the certificate then
+                # reads uncovered>0 on every padded call and the exact
+                # result is silently recomputed (measured: uncovered
+                # 0 -> 34 with one zero row). A duplicated real query
+                # certifies exactly like its original.
                 pad = (-b) % 1024
                 q_run = (jnp.concatenate(
-                    [queries, jnp.zeros((pad, queries.shape[1]),
-                                        queries.dtype)], axis=0)
+                    [queries, jnp.broadcast_to(
+                        queries[:1], (pad, queries.shape[1]))], axis=0)
                     if pad else queries)
                 scores, packed = pallas_topk_certified_multi(
                     q_run, corpus, k, size, sub_batch=1024, tile=tile,
@@ -807,6 +812,10 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
                                interpret=not on_tpu)
         return pallas_topk(queries, corpus, k, size, tile=tile,
                            interpret=not on_tpu)
-    if n > chunk and n % chunk == 0:
+    if n > chunk:
+        # chunked_topk scores any remainder tail with one extra merged
+        # matmul, so non-multiple corpus sizes (e.g. tile-rounded shard
+        # capacities) stream in O(B*(chunk+k)) instead of materializing
+        # the full [B, N] score matrix in exact_topk.
         return chunked_topk(queries, corpus, k, size, chunk=chunk)
     return exact_topk(queries, corpus, k, size)

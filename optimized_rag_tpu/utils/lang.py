@@ -75,6 +75,17 @@ _DIACRITICS = {
     "de": "äöüß",
 }
 
+# Stopwords unique to ONE language (shared forms like pt/es/fr "de" or
+# en/fr/pt "a" excluded). A non-English verdict requires at least one
+# exclusive hit: shared Romance function words alone flip short English
+# queries containing loan phrases or names ("de facto", "de la Salle",
+# "de-dup") into a translation round trip otherwise.
+_EXCLUSIVE = {
+    lang: words.difference(*(w for l2, w in _STOPWORDS.items()
+                             if l2 != lang))
+    for lang, words in _STOPWORDS.items()
+}
+
 
 def detect_language(text: str, margin: float = 0.05,
                     floor: float = 0.12) -> str:
@@ -101,7 +112,13 @@ def detect_language(text: str, margin: float = 0.05,
     best = max(scores, key=lambda k: scores[k])
     if best == "en":
         return "en"
-    if scores[best] >= floor and scores[best] >= scores["en"] + margin:
+    # Exclusive evidence: a stopword no other covered language uses, or
+    # a diacritic predominantly of this orthography. Without it, the
+    # hits are all shared function words — not enough to leave English.
+    exclusive = (any(t in _EXCLUSIVE[best] for t in tokens)
+                 or any(c in low for c in _DIACRITICS.get(best, "")))
+    if exclusive and scores[best] >= floor \
+            and scores[best] >= scores["en"] + margin:
         return best
     return "en"
 

@@ -47,6 +47,27 @@ def test_evaluator_bundle():
     assert out["mrr"] == pytest.approx(0.5)
 
 
+def test_split_sentences_abbreviations_vs_real_boundaries():
+    """Title abbreviations never split; "No."/"etc." split or join by
+    context (regression: unconditional treatment fused distinct
+    sentences like 'No. The fallback path is used.')."""
+    from optimized_rag_tpu.agent.verification import split_sentences
+    assert split_sentences(
+        "The project was led by Dr. Alvarez. She joined in 2021.") == [
+        "The project was led by Dr. Alvarez.", "She joined in 2021."]
+    assert split_sentences(
+        "Is it supported? No. The fallback path is used.") == [
+        "Is it supported?", "No.", "The fallback path is used."]
+    assert split_sentences("See section No. 5 for details.") == [
+        "See section No. 5 for details."]
+    assert split_sentences(
+        "It covers dense, lexical, etc. and more appear later.") == [
+        "It covers dense, lexical, etc. and more appear later."]
+    assert split_sentences(
+        "It covers dense, lexical, etc. The next stage reranks.") == [
+        "It covers dense, lexical, etc.", "The next stage reranks."]
+
+
 def test_token_budget_and_overflow():
     b = token_budget(1000)
     assert b["rag_context"] == 400

@@ -143,6 +143,12 @@ def test_lang_identifies_all_sheet_questions():
             assert detect_language(item.question) == lang, item.id
     assert detect_language("What is the default chunk size?") == "en"
     assert detect_language("bfloat16 MXU pallas pjit") == "en"
+    # Shared Romance function words inside English queries must NOT
+    # trigger translation (regression: one "de" flipped short English
+    # queries to pt/es/fr and sent them through the translator).
+    assert detect_language("De-dup vs embedding de-dup?") == "en"
+    assert detect_language("Uses de la Salle data") == "en"
+    assert detect_language("Compare a la carte de facto options") == "en"
 
 
 def test_server_rejects_bad_api_key():

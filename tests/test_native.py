@@ -26,6 +26,10 @@ SAMPLES = [
     "punctuation: (parens) [brackets] {braces} ... !!!",
     "Supercalifragilisticexpialidocious antidisestablishmentarianism",
     "mixed CASE Text With   Multiple   spaces\nand\nnewlines",
+    # Control bytes: tokens in the model regex ([^\sa-z0-9] matches
+    # \x01/\x7f; \x1c-\x1f are Python whitespace), plain separators in
+    # the lexical path — both must agree with their Python oracles.
+    "word\x7fother a\x01b\x1cc d\x00e",
 ]
 
 
@@ -109,6 +113,12 @@ def test_vocab_tokenizer_native_matches_python(built):
         "punct: (parens), [brackets]; 'quotes'! ###",
         "a1b2 A1B2 mixed CASE Memory",
         "",
+        # Control bytes: Python's [^\sa-z0-9] emits a token for \x01 /
+        # \x7f etc. while \x1c-\x1f are unicode whitespace — the native
+        # path silently DROPPED the former (regression: same text, two
+        # id sequences depending on .so availability).
+        "word\x7fother",
+        "a\x01b\x1cc d\x00e \x08tail\x1f",
     ]
     for text in [c for c in cases if c.isascii()]:
         fast = vt.tokenize(text)

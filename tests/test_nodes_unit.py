@@ -218,6 +218,44 @@ def test_process_tool_calls_executes_and_clears(agent):
     assert "unit test fact" in agent.memory.get_core_memory()["facts"]
 
 
+def test_kg_chain_doc_not_duplicated_after_compression(agent):
+    """The compressor REBUILDS surviving docs (new objects), so pinning
+    KG evidence by object identity re-added a chain doc that already
+    survived — duplicating its evidence and citation. Membership is now
+    by (doc_id, source)."""
+    import unittest.mock as mock
+    st = _state(q="where did the meridian project leader come from?")
+    st.query_intent = Intent.QUESTION_ANSWERING
+    st.retrieval_confidence = 0.7
+    kg = RetrievedDoc(doc_id=-2, score=0.9,
+                      source=Source.KNOWLEDGE_GRAPH,
+                      text="Alvarez leads the meridian project. "
+                           "Alvarez joined from the Basel lab.")
+    fillers = [RetrievedDoc(doc_id=i, score=0.5 - i * 0.01,
+                            text=("The meridian project studies mapping "
+                                  "of coastal regions in detail. " * 40))
+               for i in range(8)]          # > skip_doc_count=7
+    st.rag_context = [kg] + fillers     # total chars force real compression
+    fe, agent.fused_eval = agent.fused_eval, None
+    try:
+        with mock.patch.object(agent.reranker, "rerank",
+                               side_effect=lambda q, d, i: d), \
+             mock.patch.object(agent.reranker, "apply_mmr",
+                               side_effect=lambda d, k, lam: d), \
+             mock.patch.object(agent.selfrag, "evaluate_retrieval",
+                               return_value={"relevance": 0.9}), \
+             mock.patch.object(agent.selfrag, "should_reretrieve",
+                               return_value=False):
+            core.rerank_and_eval(st, agent)
+    finally:
+        agent.fused_eval = fe
+    kg_docs = [d for d in st.rag_context
+               if d.source == Source.KNOWLEDGE_GRAPH]
+    assert len(kg_docs) == 1, [d.doc_id for d in st.rag_context]
+    assert kg_docs[0].metadata.get("compressed"), \
+        "the surviving copy should be the compressed rebuild"
+
+
 def test_update_memory_persists_turn(agent):
     st = _state()
     st.response = "answer text"

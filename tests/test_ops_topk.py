@@ -401,6 +401,44 @@ def test_certified_multi_with_padding_size(rng):
     _check(s, packed[:-1], oracle_s, oracle_i)
 
 
+def test_dispatch_padded_batch_certifies_exact(rng):
+    """Zero pad rows poisoned the certificate: a zero query's tau is 0,
+    so every tile's upper bound reads suspicious and uncovered>0 on
+    EVERY padded call — the exact result was then silently recomputed
+    (2x the scan). Pad rows now duplicate a real query; the padded
+    dispatch must certify uncovered==0 and match the exact oracle."""
+    from optimized_rag_tpu.ops import topk as T
+    n, d, k, tile = 16384, 8, 4, 64        # n//tile = 256 >= 64*k
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    b = 1030                               # pads to 2x1024 sub-batches
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s, packed = T.dispatch_topk(jnp.asarray(q), jnp.asarray(c), k,
+                                prefer_pallas=True, tile=tile,
+                                defer_certificate=True)
+    assert packed.shape == (b + 1, k)
+    assert T.certificate_uncovered(packed) == 0
+    s_ref, i_ref = T.exact_topk(jnp.asarray(q), jnp.asarray(c), k)
+    assert np.array_equal(np.asarray(packed[:-1]), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_dispatch_chunked_handles_remainder_corpus(rng):
+    """Non-TPU large-corpus routing uses the remainder-capable
+    chunked_topk for ANY n > chunk (a tile-rounded shard capacity is
+    rarely a chunk multiple; exact_topk would materialize [B, N])."""
+    from optimized_rag_tpu.ops import topk as T
+    n, d, k = 2048 + 300, 8, 5
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    s, ids = T.dispatch_topk(jnp.asarray(q), jnp.asarray(c), k,
+                             prefer_pallas=False, chunk=1024)
+    s_ref, i_ref = T.exact_topk(jnp.asarray(q), jnp.asarray(c), k)
+    assert np.array_equal(np.asarray(ids), np.asarray(i_ref))
+
+
 def test_dispatch_routes_large_batches_to_multi(monkeypatch):
     """dispatch_topk sends B>=2048 (multiple of 1024) through the
     single-dispatch multi-batch kernel and smaller batches through the

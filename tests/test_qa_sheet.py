@@ -80,6 +80,18 @@ def test_citation_validity_rules():
         srcs) is False
     # no citations at all -> None (not graded)
     assert _citation_validity("No citations here.", srcs) is None
+    # a leading citation on the FIRST sentence owns that sentence's
+    # body (regression: empty prev_body skipped the overlap check, so
+    # '[1] Unrelated.' graded valid against any source)
+    assert _citation_validity(
+        "[1] Unrelated assertion about pallas kernels.", srcs) is False
+    assert _citation_validity(
+        "[1] The quick brown fox jumps over the dog.", srcs) is True
+    # ...while a leading citation on a LATER sentence still attaches to
+    # the preceding sentence (the generators emit them post-period)
+    assert _citation_validity(
+        "The quick brown fox jumps over the dog. [1] It lands.",
+        srcs) is True
 
 
 def test_pdf_sheet_hygiene():
