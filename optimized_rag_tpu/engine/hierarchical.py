@@ -16,6 +16,7 @@ get_statistics (:661-686).
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -105,7 +106,11 @@ class HierarchicalRetriever:
         self.stats = {
             "tier1_queries": 0, "tier2_queries": 0, "tier3_queries": 0,
             "tier1_hits": 0, "total_queries": 0,
-            "tier_latency_ms": {1: [], 2: [], 3: []},
+            # Bounded: one float per query per tier would grow without limit
+            # in a long-lived server; 1024 samples give a stable avg.
+            "tier_latency_ms": {1: deque(maxlen=1024),
+                                2: deque(maxlen=1024),
+                                3: deque(maxlen=1024)},
         }
 
     # --------------------------------------------------------------- tiers

@@ -88,11 +88,22 @@ class HybridRetriever:
 
     def _ann_candidates(self, q: np.ndarray, k: int):
         """ANN over the built segment unioned with exact search over the
-        post-build tail. Returns (scores [B,k], ids [B,k])."""
-        s1, i1 = self.ann.search(q, k)
+        post-build tail. Returns (scores [B,k], ids [B,k]).
+
+        The ANN keeps its pre-build copy of every vector, so rows
+        tombstoned in the DenseIndex after the build would come back at
+        full score; oversample by the tombstone count and mask them out
+        here (the exact paths filter inside DenseIndex.search)."""
+        dead = self.dense._tombstones
+        kk = k + min(len(dead), max(0, self.ann_size - k))
+        s1, i1 = self.ann.search(q, kk)
         tail = self.dense.search_tail(q, k, self.ann_size)
         s = np.concatenate([s1, tail.scores], axis=1)
         i = np.concatenate([np.asarray(i1, np.int64), tail.ids], axis=1)
+        if dead:
+            gone = np.isin(i, np.fromiter(dead, np.int64, len(dead)))
+            s = np.where(gone, -np.inf, s)
+            i = np.where(gone, np.int64(-1), i)
         order = np.argsort(-s, axis=1, kind="stable")[:, :k]
         return (np.take_along_axis(s, order, axis=1),
                 np.take_along_axis(i, order, axis=1))

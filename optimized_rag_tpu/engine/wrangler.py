@@ -128,8 +128,11 @@ class Deduplicator:
             sim = np.asarray(pairwise_cosine(jnp.asarray(emb)))
             final: List[int] = []
             for a in range(len(keep)):
+                # Compare against the KEPT candidates (sim rows are
+                # keep-local) — iterating positions 0..len(final)-1
+                # checked the wrong rows once anything was dropped.
                 if all(sim[a, b] < self.semantic_threshold
-                       for b in range(len(final))):
+                       for b in final):
                     final.append(a)
             keep = [keep[a] for a in final]
         return keep

@@ -119,7 +119,12 @@ class LexicalIndex:
         of distinct compiled shapes as the corpus grows.
         """
         n = max(self.size, 1)
-        pad_n = padded_size or n
+        # doc_len is a jitted-input shape too: sizing it exactly n meant
+        # every add()+search cycle compiled a fresh program. Pow2-pad it
+        # like the champion arrays; scores past ``size`` are masked to
+        # -inf in every consumer (bm25_topk/dual_topk/encode_and_retrieve)
+        # and padded rows are never referenced by champ_docs.
+        pad_n = padded_size or (1 << (n - 1).bit_length())
         terms = sorted(self._postings)
         cap_used = max((min(len(p), self.cap)
                         for p in self._postings.values()), default=1)

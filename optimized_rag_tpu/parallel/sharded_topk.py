@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from optimized_rag_tpu.ops.similarity import normalize
 from optimized_rag_tpu.ops.topk import (
-    chunked_topk, exact_topk, pallas_topk, pallas_topk_verified)
+    NEG_INF, chunked_topk, exact_topk, pallas_topk, pallas_topk_verified)
 
 
 @functools.partial(
@@ -225,7 +225,13 @@ class ShardedDenseIndex:
         # Map storage rows -> external ids via the persistent inverse
         # array: O(B*k), independent of corpus size.
         ids = self._row_to_ext[np.clip(rows, 0, len(self._row_to_ext) - 1)]
-        ids = np.where((rows >= 0) & np.isfinite(scores), ids, -1)
+        # Kernels mask dead rows with the FINITE sentinel NEG_INF=-1e30
+        # (np.isfinite alone never fired); normalize them to the -inf /
+        # id=-1 convention the other indexes use so consumers can keep
+        # treating finite scores as valid hits.
+        dead = (rows < 0) | (scores < NEG_INF / 2)
+        ids = np.where(dead, np.int64(-1), ids)
+        scores = np.where(dead, -np.inf, scores)
         if kk < k:
             pad = k - kk
             scores = np.pad(scores, ((0, 0), (0, pad)),

@@ -106,15 +106,19 @@ class AgentHTTPServer:
                 self.wfile.write(raw)
 
             def do_GET(self):
-                if self.path == "/healthz":
-                    import jax
-                    self._reply(200, {"ok": True,
-                                      "backend": jax.default_backend(),
-                                      "corpus_size": srv.agent.dense.size})
-                elif self.path == "/stats":
-                    self._reply(200, srv._stats())
-                else:
-                    self._reply(404, {"error": "unknown path"})
+                try:
+                    if self.path == "/healthz":
+                        import jax
+                        self._reply(200, {
+                            "ok": True,
+                            "backend": jax.default_backend(),
+                            "corpus_size": srv.agent.dense.size})
+                    elif self.path == "/stats":
+                        self._reply(200, srv._stats())
+                    else:
+                        self._reply(404, {"error": "unknown path"})
+                except Exception as exc:  # fail-open per request, as POST
+                    self._reply(500, {"error": str(exc)})
 
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))

@@ -235,6 +235,15 @@ class QueryServer:
             raise ValueError(f"k={k} out of range [1, {self.max_k}]")
         req = _Request(query=query, k=k)
         self._q.put(req)
+        # stop() racing this enqueue: the collector's final drain may
+        # already have finished when the put lands, leaving the future
+        # unsettled forever (the documented fut.result() has no
+        # timeout). If the server stopped and the request is still
+        # cancellable it was missed — fail the caller fast. A cancel
+        # that loses (request already collected in-flight) means the
+        # dispatch will settle the future normally.
+        if not self._running and req.future.cancel():
+            raise RuntimeError("server stopped during submit")
         return req.future
 
     def search(self, query: str, k: int = 10, timeout: float = 30.0):

@@ -153,6 +153,8 @@ class MetadataStore:
                                        check_same_thread=False) \
             if path == ":memory:" else None
         self._lock = threading.Lock()
+        self._conns: list[sqlite3.Connection] = []   # every thread's conn
+        self._conns_lock = threading.Lock()
         self._migrate()
 
     def _migrate(self) -> None:
@@ -179,12 +181,25 @@ class MetadataStore:
             return self._shared
         conn = getattr(self._local, "conn", None)
         if conn is None:
-            conn = sqlite3.connect(self.path)
+            # check_same_thread=False only so close() can shut down
+            # EVERY thread's connection from the closing thread; each
+            # connection is still used by exactly one thread otherwise.
+            conn = sqlite3.connect(self.path, check_same_thread=False)
             conn.execute("PRAGMA journal_mode=WAL")
             self._local.conn = conn
+            with self._conns_lock:
+                self._conns.append(conn)
         return conn
 
     def execute(self, sql: str, params: tuple = ()) -> list:
+        # Reads on per-thread file connections run lock-free: WAL gives
+        # each reader its own snapshot, and Python's legacy isolation
+        # mode opens no transaction for SELECT — so the global lock
+        # (needed to serialize writers and ALL access to the shared
+        # :memory: connection) would otherwise cap read throughput at
+        # single-connection rate, defeating the per-thread-conn design.
+        if self._shared is None and sql.lstrip()[:6].upper() == "SELECT":
+            return self._conn().execute(sql, params).fetchall()
         with self._lock:
             cur = self._conn().execute(sql, params)
             rows = cur.fetchall()
@@ -426,6 +441,13 @@ class MetadataStore:
     def close(self) -> None:
         if self._shared is not None:
             self._shared.close()
-        conn = getattr(self._local, "conn", None)
-        if conn is not None:
-            conn.close()
+        # Close EVERY thread's connection, not just the caller's —
+        # worker-thread connections otherwise leak until process exit.
+        with self._conns_lock:
+            conns, self._conns = self._conns, []
+        for conn in conns:
+            try:
+                conn.close()
+            except sqlite3.Error:
+                pass
+        self._local = threading.local()

@@ -530,3 +530,73 @@ def test_semantic_confidence_forces_escalation(retriever):
     _, info2 = hr.retrieve(q, intent=Intent.SEARCH, semantic_confidence=0.0)
     assert calls, "semantic_confidence=0 must force tier-3"
     assert info2["confidence"] < info["confidence"]
+
+
+# ------------------------------------------------ round-4 review fixes
+
+
+def test_semantic_dedup_checks_kept_not_positions():
+    """sim rows are keep-local; the membership loop must iterate the KEPT
+    indices, not list positions (regression: once one text was dropped,
+    later candidates were compared against the wrong rows — a dup of a
+    kept text survived whenever a dropped dup preceded it)."""
+    from optimized_rag_tpu.engine.wrangler import Deduplicator
+    vecs = {"alpha": [1.0, 0.0], "beta": [1.0, 0.0],
+            "gamma": [0.0, 1.0], "delta": [0.0, 1.0]}
+    texts = ["alpha stands entirely alone here",
+             "beta text shares nothing lexically with the first one",
+             "gamma covers an unrelated topic in other words",
+             "delta also written with no overlapping words at all"]
+    key = {t: t.split()[0] for t in texts}
+
+    def embed(batch):
+        return np.asarray([vecs[key[t]] for t in batch], np.float32)
+
+    d = Deduplicator(embed_fn=embed, semantic_threshold=0.9)
+    keep = d.dedup(texts, semantic=True)
+    # beta dups alpha (dropped); delta dups gamma and must ALSO drop —
+    # the positional loop compared delta against rows 0/1 (alpha, the
+    # dropped beta) instead of gamma and kept it.
+    assert keep == [0, 2], keep
+
+
+def test_ann_candidates_filter_tombstones(retriever, embed):
+    """An installed ANN keeps pre-delete vector copies; deleted rows must
+    be masked out of the candidate union, not resurrected at full
+    score."""
+    dense = retriever.dense
+
+    class FrozenANN:                      # snapshot of the built segment
+        def __init__(self, emb, size):
+            self.emb, self.n = np.asarray(emb[:size]), size
+
+        def search(self, q, k):
+            s = np.atleast_2d(q) @ self.emb.T
+            ids = np.argsort(-s, axis=1)[:, :k]
+            return (np.take_along_axis(s, ids, axis=1),
+                    ids.astype(np.int64))
+
+    retriever.ann = FrozenANN(dense._emb, dense.size)
+    retriever.ann_size = dense.size
+    target = "tpus accelerate matrix multiplication with systolic arrays"
+    docs = retriever.dense_only(target, 3)
+    assert docs and docs[0].doc_id == 1          # sanity: hit pre-delete
+    dense.delete([1])
+    docs = retriever.dense_only(target, 3)
+    assert all(d.doc_id != 1 for d in docs), [d.doc_id for d in docs]
+    # remaining candidates are still returned (oversample kept k live)
+    assert len(docs) >= 2
+
+
+def test_tier_latency_stats_are_bounded(retriever):
+    """One float per query per tier grew without bound in a long-lived
+    server; the window is now a fixed-size deque and the avg still
+    computes."""
+    hr = HierarchicalRetriever(retriever, core_memory_fn=lambda: {},
+                               escalation_threshold=0.0)
+    for t in (1, 2, 3):
+        for i in range(1500):
+            hr.stats["tier_latency_ms"][t].append(float(i))
+        assert len(hr.stats["tier_latency_ms"][t]) == 1024
+    stats = hr.get_statistics()
+    assert stats["tier2_avg_ms"] == pytest.approx(np.mean(range(476, 1500)))

@@ -323,3 +323,25 @@ def test_agent_corpus_dtype_setting():
     a.ingestor.ingest_text("the quick brown fox document")
     docs = a.retriever.dense_only("quick brown fox", 3)
     assert docs
+
+
+def test_lexical_doc_len_pow2_padded():
+    """doc_len is a jitted-input shape: exact-n sizing forced an XLA
+    recompile on every add()+search cycle. It is now pow2-padded like
+    the champion arrays, so growth within a power of two reuses the
+    compiled program (size masks the padding to -inf)."""
+    from optimized_rag_tpu.index.lexical import LexicalIndex
+    lex = LexicalIndex(vocab_hash_bits=14, cap=16)
+    lex.add(["alpha beta gamma", "beta gamma delta", "gamma delta eps",
+             "delta eps zeta", "eps zeta alpha"])
+    lex.build()
+    shape5 = lex._device["doc_len"].shape[0]
+    assert shape5 == 8, shape5
+    s, ids = lex.search("gamma delta", k=4)
+    assert (ids >= 0).sum() >= 3
+    assert (ids < 5).all() or (ids[s == -np.inf] == -1).all()
+    lex.add(["zeta alpha beta"])       # 6 docs: same pow2 bucket
+    lex.build()
+    assert lex._device["doc_len"].shape[0] == 8
+    s2, ids2 = lex.search("zeta alpha", k=4)
+    assert 5 in ids2.tolist()          # the fresh doc is retrievable

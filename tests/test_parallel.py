@@ -247,3 +247,21 @@ def test_sharded_topk_over_composite_dcn_axis(rng):
                           sizes=sizes, axis=("dcn", "data"))
     oracle = np.argsort(-(q @ docs.T), axis=1)[:, :k]
     np.testing.assert_array_equal(np.asarray(ids), oracle)
+
+
+def test_sharded_dense_missing_slots_use_inf_convention(rng):
+    """Kernels mask dead rows with the FINITE sentinel -1e30; the index
+    must normalize those to -inf / id=-1 (the convention every other
+    index uses), or consumers treating finite scores as valid hits see
+    ghost matches when a shard holds fewer live rows than k."""
+    mesh = make_mesh(data=8)
+    idx = ShardedDenseIndex(dim=16, mesh=mesh, capacity_block=8 * 256,
+                            tile=256)
+    docs = _unit(rng, 10, 16)          # 10 rows over 8 shards, k=10
+    idx.add(docs)
+    scores, ids = idx.search(docs[:2], k=10)
+    live = ids >= 0
+    assert np.isfinite(scores[live]).all()
+    assert (scores[~live] == -np.inf).all(), scores[~live]
+    assert (scores > -1e29).sum(axis=1).max() <= 10
+    assert ids[0, 0] == 0 and ids[1, 0] == 1      # real hits still first

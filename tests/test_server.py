@@ -100,3 +100,24 @@ def test_bad_requests(http_agent):
     assert code == 400
     code, body = _post(port, "/nope", {"x": 1})
     assert code == 404
+
+
+def test_get_errors_return_json_500(http_agent):
+    """do_GET fail-open parity with do_POST: a stats-provider failure
+    must come back as a JSON 500, not a closed socket."""
+    srv, port = http_agent
+
+    class Boom:
+        def get_statistics(self):
+            raise RuntimeError("stats provider exploded")
+
+    old = srv.agent.hierarchical
+    srv.agent.hierarchical = Boom()
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/stats")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 500
+        assert "exploded" in json.loads(exc.value.read())["error"]
+    finally:
+        srv.agent.hierarchical = old

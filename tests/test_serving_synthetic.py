@@ -333,3 +333,27 @@ def test_concurrent_chat_setting_wires_batcher():
         assert agent.embed_batcher.stats["dispatches"] > 0
     finally:
         agent.embed_batcher.stop()
+
+
+def test_submit_racing_stop_fails_fast(served_index):
+    """A submit that lands its request after stop()'s final drain must
+    not leave the caller blocked forever on an unsettled future: the
+    post-put liveness check cancels it and raises."""
+    emb, idx, docs = served_index
+    server = QueryServer(emb, idx, max_batch=8, max_wait_ms=10)
+    server.start()
+    orig_put = server._q.put
+    fired = {"done": False}
+
+    def racing_put(item):
+        if not fired["done"] and item is not None:
+            fired["done"] = True
+            server._q.put = orig_put    # stop() uses the real put
+            server.stop()               # drain completes before our put
+            orig_put(item)              # lands in the abandoned queue
+        else:
+            orig_put(item)
+
+    server._q.put = racing_put
+    with pytest.raises(RuntimeError, match="stopped"):
+        server.submit(docs[0], k=3)

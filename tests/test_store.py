@@ -325,3 +325,50 @@ def test_kg_bfs_skips_degenerate_entities(tmp_path):
     kg = KnowledgeGraphRetriever(store, agent_id="t", max_hops=2)
     got = kg.find_related_entities("X")
     assert ("Claim", "splits", "draft answer") not in got
+
+
+def test_store_reads_run_while_writer_holds_lock(tmp_path):
+    """SELECTs on per-thread WAL connections skip the global write lock —
+    a held writer lock must not block readers (the round-4 review found
+    every statement serialized on one Lock)."""
+    import threading
+    from optimized_rag_tpu.store.db import MetadataStore
+    store = MetadataStore(str(tmp_path / "c.db"))
+    doc = store.insert_document("a", filename="f.txt")
+    store.insert_chunks("a", doc, [0], ["chunk body"])
+    got = {}
+    with store._lock:                       # simulate an in-flight writer
+        t = threading.Thread(
+            target=lambda: got.update(row=store.get_chunk(0)))
+        t.start()
+        t.join(timeout=5)
+        assert not t.is_alive(), "reader blocked behind the write lock"
+    assert got["row"]["content"] == "chunk body"
+    store.close()
+
+
+def test_store_close_closes_worker_thread_connections(tmp_path):
+    """close() must shut down EVERY thread's connection (they leaked
+    until process exit before), and the store must still be usable
+    afterwards via fresh connections."""
+    import sqlite3
+    import threading
+    from optimized_rag_tpu.store.db import MetadataStore
+    store = MetadataStore(str(tmp_path / "d.db"))
+    doc = store.insert_document("a", filename="f.txt")
+    store.insert_chunks("a", doc, [0], ["body"])
+    conns = {}
+
+    def worker():
+        store.get_chunk(0)                  # creates this thread's conn
+        conns["c"] = store._local.conn
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert len(store._conns) >= 2           # main + worker
+    store.close()
+    with pytest.raises(sqlite3.ProgrammingError):
+        conns["c"].execute("SELECT 1")      # really closed
+    assert store.get_chunk(0)["content"] == "body"   # reopens cleanly
+    store.close()
