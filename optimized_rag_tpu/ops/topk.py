@@ -373,7 +373,10 @@ def pallas_topk_verified_batch(queries: jax.Array, corpus: jax.Array,
     # One contiguous read of the union tiles; MXU rescore vs every query.
     rows = (sel_tiles[:, None] * tile
             + jnp.arange(tile, dtype=jnp.int32)[None, :]).reshape(-1)
-    gathered = corpus[rows]                                  # [U*tile, D]
+    # Contiguous slab reads, not a row-gather (see pallas_topk_certified).
+    gathered = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(corpus, sel_tiles[j] * tile, tile, 0)
+         for j in range(u)], axis=0)                         # [U*tile, D]
     sc = jnp.dot(queries.astype(corpus.dtype), gathered.T,
                  preferred_element_type=jnp.float32,
                  precision=precision)                        # [B, U*tile]
@@ -629,8 +632,14 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     # c3: the best excluded candidate must be provably below tau.
     c3_viol = _unpack_ub(vtop[:, r_cnt], tile) > tau
 
-    # c2: suspicious tiles (2nd-unit upper bound above tau), batch-union
-    # contiguous rescan on the MXU — same scheme as round 2.
+    # c2: suspicious tiles (2nd-unit upper bound above tau), covered by
+    # an EXACT per-tile top-k extraction kernel over the union
+    # (_extract_kernel reads the selected tiles in place via the
+    # scalar-prefetch index map). A tile contributes at most k rows to a
+    # global top-k, so exact top-k per selected tile covers every
+    # possible contribution — and the [B, U*k] merge replaces the
+    # [B, U*tile] wide sort of the round-3 slab rescan (~12 ms of the
+    # 33 ms direct-hw budget; docs/RESULTS_r4.md §8).
     u = min(union_tiles, num_tiles)
     ub2 = jnp.transpose(_unpack_ub(w_val[:, 1, :], tile))     # [B, T]
     sus = ub2 > tau[:, None]
@@ -640,15 +649,14 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     selected = jnp.zeros((num_tiles,), bool).at[sel_tiles].set(sel_valid)
     uncovered = (jnp.sum(sus & ~selected[None, :]).astype(jnp.int32)
                  + jnp.sum(c3_viol).astype(jnp.int32))
-    urows = (sel_tiles[:, None] * tile
-             + jnp.arange(tile, dtype=jnp.int32)[None, :]).reshape(-1)
-    gu = corpus[urows]                                        # [U*tile, D]
-    scu = jnp.dot(queries.astype(corpus.dtype), gu.T,
-                  preferred_element_type=jnp.float32, precision=precision)
-    row_ok = (jnp.repeat(sel_valid, tile) & (urows < size_))[None, :]
-    scu = jnp.where(row_ok, scu, NEG_INF)
-    r_s, r_pos = jax.lax.top_k(scu, k)
-    r_i = jnp.take(urows, r_pos)
+    uval, ucol = _extract_pass(queries, corpus, size, tile, k, sel_tiles,
+                               interpret, precision)
+    uc = jnp.where(sel_valid[None, :, None],
+                   jnp.transpose(uval, (2, 0, 1)), NEG_INF)   # [B, U, k]
+    urow_b = jnp.transpose(sel_tiles[:, None, None] * tile + ucol,
+                           (2, 0, 1)).reshape(b, u * k)
+    r_s, r_pos = jax.lax.top_k(uc.reshape(b, u * k), k)
+    r_i = jnp.take_along_axis(urow_b, r_pos, axis=1)
 
     # Rescued rows inside selected tiles are re-found by the rescan — mask
     # the rescued copy instead of deduplicating row ids.
@@ -693,6 +701,370 @@ def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
             q, corpus, k, size, tile=tile, groups=groups,
             union_tiles=union_tiles, pad_r=pad_r, interpret=interpret,
             precision=precision)
+
+    s, i = jax.lax.map(one, queries.reshape(m, sub_batch, d))
+    scores = s.reshape(mb, k)
+    ids = i[:, :sub_batch, :].reshape(mb, k)
+    uncovered = jnp.sum(i[:, sub_batch, 0]).astype(jnp.int32)
+    count_row = jnp.zeros((1, k), jnp.int32).at[0, 0].set(uncovered)
+    return scores, jnp.concatenate([ids, count_row], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 certified2: exact unit-mate export — no rescue gather, no rescan
+# matmul. Round-4 on-chip attribution (docs/RESULTS_r4.md §8) put the
+# certified tax at ~19 ms/1024q: ~6 ms c1 rescue (XLA row-gather at
+# ~38 ns/row + exact rescore) and ~12 ms c2 union rescan (row-gather +
+# [B, U*tile] wide sort). Both costs exist because the packed kernel
+# exports only QUANTIZED winners, forcing exact scores to be recomputed
+# outside. This variant exports the exact f32 scores (straight from the
+# in-VMEM accumulator) of every row of the top-`n_units` units per tile,
+# so no row is ever re-scored:
+#
+#   * main pass (grid = all tiles, n_units=2): per tile, the packed
+#     top-2 unit winners [T,2,B] AND the 2*G exact mate scores
+#     [T,2G,B]. Outside, a 3-level exact max/argmax reduce yields each
+#     tile's top-2 candidate rows and a 3rd-best residue bound; one
+#     narrow sort over [B, 2T] gives the provisional top-k and tau.
+#   * union pass (grid = the U hottest suspicious tiles via
+#     scalar-prefetch index_map — tiles are read in place, no gather,
+#     no copy): a fori_loop max/argmax/mask kernel exporting each
+#     selected tile's EXACT top-k rows (_extract_kernel). A tile can
+#     contribute at most k rows to a global top-k, so this covers every
+#     possible contribution; a [B, U*k] sort replaces the rescan sort.
+#     (An earlier 16-unit unrolled mates export here OOM-killed the
+#     Mosaic AOT compile helper — fori_loop keeps the program small.)
+#
+# Certified covers (counted into the ids-row counter, 0 = exact):
+#   * rows in non-exported units of unselected tiles:  ub(packed w2) on
+#     the quantized winner, as in pallas_topk_certified;
+#   * mate ranks 3..2G of unselected tiles: bounded by the EXACT
+#     3rd-best mate (folded into union selection priority);
+#   * suspicious tiles beyond the union budget: counted, as before.
+#   Selected tiles need no residual term — their export is exact top-k.
+# ---------------------------------------------------------------------------
+
+def _mates_kernel(size_ref, tiles_ref, q_ref, c_ref, val_out, mate_out, *,
+                  tile: int, groups: int, n_units: int, precision):
+    """Per-tile top-``n_units`` unit winners (packed) + their exact mates.
+
+    Grid step ``t`` processes corpus tile ``tiles_ref[t]`` (scalar
+    prefetch drives the BlockSpec index_map, so the union pass reads its
+    data-dependent tiles in place). Outputs:
+      val_out  [1, n_units, B] f32 — packed winners, strongest first
+                (bitcast int32: high bits quantized score+2.0, low
+                log2(tile) bits the winner's tile-local column);
+      mate_out [1, n_units*groups, B] f32 — EXACT f32 scores of row
+                ``j + g*small`` of unit r at index r*groups + g, masked
+                to NEG_INF beyond ``size``. These come from the same
+                f32 accumulator as the packing, so "exact" means exactly
+                the corpus-dtype scoring the certificate is defined on.
+
+    The packing runs slice-sequentially (one [B, small] slice per group)
+    so peak VMEM is the [B, tile] f32 score block plus O(B*small)
+    transients — the full [B, tile] packed copy of the r3 kernel is
+    never materialized, which is what lets tile=2048 carry B=1024 with
+    the mates export under the compile-time scoped-VMEM cap.
+    """
+    t = pl.program_id(0)
+    b = q_ref.shape[0]
+    small = tile // groups
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(c_ref.dtype), c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)                                  # [B, tile]
+    base = tiles_ref[t] * tile
+    iota_small = jax.lax.broadcasted_iota(jnp.int32, (b, small), 1)
+
+    acc = None
+    for g in range(groups):
+        sl = scores[:, g * small:(g + 1) * small]
+        colg = iota_small + g * small
+        liveg = colg + base < size_ref[0]
+        shg = jnp.where(liveg, jnp.maximum(sl + 2.0, 0.0), 0.0)
+        pg = jax.lax.bitcast_convert_type(
+            (jax.lax.bitcast_convert_type(shg, jnp.int32)
+             & ~jnp.int32(tile - 1)) | colg, jnp.float32)
+        acc = pg if acc is None else jnp.maximum(acc, pg)     # [B, small]
+
+    winners = []
+    gw = acc
+    for r in range(n_units):
+        w = jnp.max(gw, axis=1)                               # [B]
+        val_out[0, r, :] = w
+        winners.append(w)
+        if r + 1 < n_units:
+            # Packed values are unique in their column bits, so exactly
+            # one entry matches; masking exposes the next unit winner.
+            gw = jnp.where(gw == w[:, None], 0.0, gw)
+
+    for r in range(n_units):
+        wi = jax.lax.bitcast_convert_type(winners[r], jnp.int32)
+        ju = (wi & jnp.int32(tile - 1)) % small               # [B]
+        sel = iota_small == ju[:, None]
+        for g in range(groups):
+            sl = scores[:, g * small:(g + 1) * small]
+            colg = iota_small + g * small
+            liveg = colg + base < size_ref[0]
+            mate_out[0, r * groups + g, :] = jnp.max(
+                jnp.where(sel & liveg, sl, NEG_INF), axis=1)
+
+
+def _mates_pass(queries, corpus, size, tile, groups, n_units, tiles,
+                interpret, precision):
+    """Run ``_mates_kernel`` over ``tiles`` (int32 [steps] corpus-tile
+    ids). Returns (val [steps, n_units, B], mates [steps, n_units*G, B]).
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    steps = tiles.shape[0]
+    size_arr = jnp.asarray([n if size is None else size], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i, size_r, tiles_r: (tiles_r[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_units, b), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_units * groups, b), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mates_kernel, tile=tile, groups=groups,
+                          n_units=n_units, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((steps, n_units, b), jnp.float32),
+            jax.ShapeDtypeStruct((steps, n_units * groups, b), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * steps * tile * d,
+            bytes_accessed=steps * tile * d * corpus.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(size_arr, tiles, queries.astype(jnp.float32), corpus)
+
+
+def _extract_kernel(size_ref, tiles_ref, q_ref, c_ref, val_out, col_out, *,
+                    tile: int, rounds: int, precision):
+    """Per-tile EXACT top-``rounds`` rows by iterative extraction.
+
+    Grid step ``t`` scores corpus tile ``tiles_ref[t]`` and runs
+    ``rounds`` max/argmax/mask iterations inside ONE ``fori_loop`` — the
+    loop body is compiled once, keeping the Mosaic program small (the
+    unrolled 16-unit mates export OOM-killed the AOT compile helper;
+    round-4f diagnostic). Exports:
+      val_out [1, rounds, B] f32 — exact accumulator scores, rank order;
+      col_out [1, rounds, B] i32 — tile-local columns of those rows.
+    Rows at/after ``size`` score NEG_INF and sort away outside.
+
+    Cost is ~3 elementwise passes over [B, tile] per round, so this is
+    only for SMALL grids (the union pass: ``rounds=k`` over the
+    suspicious tiles). The full-corpus main pass stays on the packed
+    single-pass ``_mates_kernel``.
+    """
+    t = pl.program_id(0)
+    b = q_ref.shape[0]
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(c_ref.dtype), c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)                                  # [B, tile]
+    base = tiles_ref[t] * tile
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    scores = jnp.where(iota + base < size_ref[0], scores, NEG_INF)
+
+    def body(r, sc):
+        m = jnp.max(sc, axis=1)                               # [B]
+        a = jnp.argmax(sc, axis=1).astype(jnp.int32)          # [B]
+        val_out[0, pl.ds(r, 1), :] = m[None, :]
+        col_out[0, pl.ds(r, 1), :] = a[None, :]
+        return jnp.where(iota == a[:, None], NEG_INF, sc)
+
+    jax.lax.fori_loop(0, rounds, body, scores)
+
+
+def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
+                  precision):
+    """Run ``_extract_kernel`` over ``tiles`` (int32 [steps] tile ids).
+    Returns (val [steps, rounds, B] f32, col [steps, rounds, B] i32)."""
+    n, d = corpus.shape
+    b = queries.shape[0]
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    steps = tiles.shape[0]
+    size_arr = jnp.asarray([n if size is None else size], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda i, size_r, tiles_r: (tiles_r[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rounds, b), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rounds, b), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_extract_kernel, tile=tile, rounds=rounds,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((steps, rounds, b), jnp.float32),
+            jax.ShapeDtypeStruct((steps, rounds, b), jnp.int32),
+        ],
+        # The fori_loop carry double-buffers the [B, tile] f32 score
+        # block (2 x 8 MB at B=1024, tile=2048), overflowing the 16 MB
+        # default scoped-VMEM cap; v5e has 128 MB, so raise it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * steps * tile * d,
+            bytes_accessed=steps * tile * d * corpus.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(size_arr, tiles, queries.astype(jnp.float32), corpus)
+
+
+def _top2_rows(mates_bt, val_bt, tile, groups):
+    """Per-tile top-2 candidate rows from exact mate scores.
+
+    mates_bt [B, T, 2G] exact f32; val_bt [B, T, 2] packed int32.
+    Returns (c1v, row1, c2v, row2, c3v): the two best exact scores with
+    their global row ids, plus the exact 3rd-best (the residue bound for
+    ranks 3..2G). Ties mask duplicates together — the skipped copy has
+    an identical score, so the top-k set differs only among equal-score
+    rows.
+    """
+    b, t, _ = mates_bt.shape
+    small = tile // groups
+    j_bt = (val_bt & jnp.int32(tile - 1)) % small             # [B, T, 2]
+    tile_base = (jnp.arange(t, dtype=jnp.int32) * tile)[None, :]
+
+    def pick(m):
+        v = jnp.max(m, axis=2)
+        a = jnp.argmax(m, axis=2).astype(jnp.int32)           # [B, T]
+        r, g = a // groups, a % groups
+        # r is 0/1: select, never gather ([B,T] take_along_axis lowers to
+        # a ~38 ns/row XLA gather — ~200 ms at T=5120; round-4f sweep).
+        j = jnp.where(r == 0, j_bt[:, :, 0], j_bt[:, :, 1])
+        return v, tile_base + j + g * small, m == v[..., None]
+
+    c1v, row1, hit1 = pick(mates_bt)
+    m2 = jnp.where(hit1, NEG_INF, mates_bt)
+    c2v, row2, hit2 = pick(m2)
+    c3v = jnp.max(jnp.where(hit2, NEG_INF, m2), axis=2)
+    return c1v, row1, c2v, row2, c3v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "groups", "interpret",
+                                    "precision", "union_tiles"))
+def pallas_topk_certified2(queries: jax.Array, corpus: jax.Array, k: int,
+                           size: jax.Array | int | None = None,
+                           tile: int = 2048, groups: int = 8,
+                           union_tiles: int = 32,
+                           interpret: bool = False, precision=None):
+    """EXACT top-k via exact-mate export — see the block comment above.
+
+    Same contract as ``pallas_topk_certified``: queries [B,D]
+    pre-normalized (scores in (-2, 2)), corpus [N,D] with N % tile == 0
+    and 2*(N/tile) > k; returns (scores [B,k] f32, ids [B+1,k] int32)
+    with ids[B,0] = uncovered certificate count (0 = exact w.r.t.
+    corpus-dtype scoring, up to ties). Scores are exact f32 accumulator
+    values exported by the kernel — nothing is ever re-scored outside.
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    num_tiles = n // tile
+    assert 2 * num_tiles > k, (num_tiles, k)
+    precision = _resolve_precision(corpus, precision)
+    size_ = jnp.asarray(n if size is None else size, jnp.int32)
+
+    tiles_main = jnp.arange(num_tiles, dtype=jnp.int32)
+    val, mates = _mates_pass(queries, corpus, size, tile, groups, 2,
+                             tiles_main, interpret, precision)
+    val_bt = jax.lax.bitcast_convert_type(
+        jnp.transpose(val, (2, 0, 1)), jnp.int32)             # [B, T, 2]
+    mates_bt = jnp.transpose(mates, (2, 0, 1))                # [B, T, 2G]
+    c1v, row1, c2v, row2, c3v = _top2_rows(mates_bt, val_bt, tile, groups)
+
+    cand_s = jnp.concatenate([c1v, c2v], axis=1)              # [B, 2T]
+    cand_i = jnp.concatenate([row1, row2], axis=1)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    tau = top_s[:, k - 1]                                     # [B]
+
+    # Suspicion: non-exported units (quantized w2 bound) OR mate ranks
+    # 3..2G (exact 3rd-best bound). Union selection by worst margin.
+    ub2 = _unpack_ub(val_bt[:, :, 1], tile)                   # [B, T]
+    sus = (ub2 > tau[:, None]) | (c3v > tau[:, None])
+    margin = jnp.maximum(ub2, c3v) - tau[:, None]
+    u = min(union_tiles, num_tiles)
+    priority = jnp.max(jnp.where(sus, margin, -jnp.inf), axis=0)
+    sel_pri, sel_tiles = jax.lax.top_k(priority, u)
+    sel_valid = sel_pri > -jnp.inf
+    selected = jnp.zeros((num_tiles,), bool).at[sel_tiles].set(sel_valid)
+    uncovered = jnp.sum(sus & ~selected[None, :]).astype(jnp.int32)
+
+    # Union pass: EXACT top-k extraction over the U hottest tiles, read
+    # in place via the scalar-prefetch index map. A single tile can
+    # contribute at most k rows to a global top-k, so per-tile exact
+    # top-k export covers every possible contribution — selected tiles
+    # need NO residual certificate term (unlike the quantized-units
+    # design, whose 16-unit unrolled export also OOM-killed the Mosaic
+    # AOT compile; see _extract_kernel).
+    uval, ucol = _extract_pass(queries, corpus, size, tile, k, sel_tiles,
+                               interpret, precision)
+    uc = jnp.transpose(uval, (2, 0, 1))                       # [B, U, k]
+    uc = jnp.where(sel_valid[None, :, None], uc, NEG_INF)
+    urow = sel_tiles[:, None, None] * tile + ucol             # [U, k, B]
+    urow_b = jnp.transpose(urow, (2, 0, 1)).reshape(b, -1)
+    r_s, r_pos = jax.lax.top_k(uc.reshape(b, -1), k)
+    r_i = jnp.take_along_axis(urow_b, r_pos, axis=1)
+
+    # Candidates from selected tiles are re-found by the union pass.
+    in_sel = selected[jnp.clip(top_i // tile, 0, num_tiles - 1)]
+    m_s = jnp.concatenate([jnp.where(in_sel, NEG_INF, top_s), r_s], axis=1)
+    m_i = jnp.concatenate([top_i, r_i], axis=1)
+    out_s, opos = jax.lax.top_k(m_s, k)
+    out_i = jnp.take_along_axis(m_i, opos, axis=1)
+    count_row = jnp.zeros((1, k), jnp.int32).at[0, 0].set(uncovered)
+    return out_s, jnp.concatenate([out_i, count_row], axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sub_batch", "tile", "groups",
+                                    "interpret", "precision", "union_tiles"))
+def pallas_topk_certified2_multi(queries: jax.Array, corpus: jax.Array,
+                                 k: int,
+                                 size: jax.Array | int | None = None,
+                                 sub_batch: int = 1024, tile: int = 2048,
+                                 groups: int = 8, union_tiles: int = 32,
+                                 interpret: bool = False, precision=None):
+    """``pallas_topk_certified2`` over M sub-batches in ONE dispatch —
+    same contract as ``pallas_topk_certified_multi``."""
+    mb, d = queries.shape
+    assert mb % sub_batch == 0, (mb, sub_batch)
+    m = mb // sub_batch
+
+    def one(q):
+        return pallas_topk_certified2(
+            q, corpus, k, size, tile=tile, groups=groups,
+            union_tiles=union_tiles,
+            interpret=interpret, precision=precision)
 
     s, i = jax.lax.map(one, queries.reshape(m, sub_batch, d))
     scores = s.reshape(mb, k)
