@@ -480,6 +480,173 @@ def _packed_extract_kernel(size_ref, q_ref, c_ref, val_out, *,
     val_out[0, 1, :] = w2
 
 
+def _packed_extract_kernel_pipe(size_ref, q_ref, c_ref, val_out, sc_ref, *,
+                                tile: int, groups: int, num_tiles: int,
+                                precision):
+    """Software-pipelined ``_packed_extract_kernel``: grid has ONE extra
+    step, and step t packs tile t-1's scores (held in VMEM scratch)
+    while the MXU computes tile t's matmul. The round-4 device trace
+    (benchmarks/diag_r4h.py, docs/results_r4/trace_r4h.json) showed the
+    single-stage kernel serializes ~9 ms of VPU packing behind the
+    ~14 ms MXU-bound scan per 1024 queries; breaking the in-step
+    matmul->pack dependency lets Mosaic overlap the units. Outputs and
+    quantization are bit-identical to the single-stage kernel."""
+    t = pl.program_id(0)
+    b = q_ref.shape[0]
+    small = tile // groups
+
+    # Stage 2 (VPU): pack + reduce tile t-1's scores from scratch.
+    @pl.when(t > 0)
+    def _pack():
+        scores = sc_ref[:]                                    # [B, tile]
+        base = (t - 1) * tile
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+        sh = jnp.maximum(scores + 2.0, 0.0)
+        sh = jnp.where(col + base < size_ref[0], sh, 0.0)
+        p = jax.lax.bitcast_convert_type(sh, jnp.int32)
+        packed = jax.lax.bitcast_convert_type(
+            (p & ~jnp.int32(tile - 1)) | col, jnp.float32)
+        parts = [packed[:, g * small:(g + 1) * small]
+                 for g in range(groups)]
+        while len(parts) > 1:
+            nxt = [jnp.maximum(parts[i], parts[i + 1])
+                   for i in range(0, len(parts) - 1, 2)]
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        gw = parts[0]                                         # [B, small]
+        w1 = jnp.max(gw, axis=1)
+        gw2 = jnp.where(gw == w1[:, None], 0.0, gw)
+        val_out[0, 0, :] = w1
+        val_out[0, 1, :] = jnp.max(gw2, axis=1)
+
+    # Stage 1 (MXU): tile t's scores into scratch. Program order makes
+    # this a write-after-read on sc_ref — the only cross-stage hazard.
+    @pl.when(t < num_tiles)
+    def _score():
+        sc_ref[:] = jax.lax.dot_general(
+            q_ref[:].astype(c_ref.dtype), c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)
+
+
+def _packed_extract_kernel_pipe2(size_ref, q_ref, c_ref, val_out, sc_ref,
+                                 *, tile: int, groups: int, precision):
+    """Branch-free double-scratch variant of the lookback pipeline.
+
+    The single-scratch variant's pack(t-1) -> dot(t) write-after-read
+    hazard (plus its two pl.when regions) measured ~4% SLOWER than the
+    single-stage kernel — Mosaic would not dual-issue across them. Here
+    scratch is a [2, B, tile] ping-pong: step t packs from slot
+    (t+1) % 2 and the MXU writes slot t % 2, so the VPU chain and the
+    MXU chain share no hazard and the body is one straight-line block.
+    Edge steps pack garbage (uninitialized scratch at t=0) into out
+    block 0, which step 1 overwrites before the block is flushed —
+    Mosaic writes an output block back only when its index changes.
+    """
+    t = pl.program_id(0)
+    b = q_ref.shape[0]
+    small = tile // groups
+
+    # VPU chain: pack tile t-1's scores from the slot the MXU is NOT
+    # writing this step.
+    scores = sc_ref[pl.ds((t + 1) % 2, 1), :, :][0]           # [B, tile]
+    base = (t - 1) * tile
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    sh = jnp.maximum(scores + 2.0, 0.0)
+    sh = jnp.where(col + base < size_ref[0], sh, 0.0)
+    p = jax.lax.bitcast_convert_type(sh, jnp.int32)
+    packed = jax.lax.bitcast_convert_type(
+        (p & ~jnp.int32(tile - 1)) | col, jnp.float32)
+    parts = [packed[:, g * small:(g + 1) * small] for g in range(groups)]
+    while len(parts) > 1:
+        nxt = [jnp.maximum(parts[i], parts[i + 1])
+               for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    gw = parts[0]                                             # [B, small]
+    w1 = jnp.max(gw, axis=1)
+    gw2 = jnp.where(gw == w1[:, None], 0.0, gw)
+    val_out[0, 0, :] = w1
+    val_out[0, 1, :] = jnp.max(gw2, axis=1)
+
+    # MXU chain: tile t's scores into this step's slot.
+    s = jax.lax.dot_general(
+        q_ref[:].astype(c_ref.dtype), c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    sc_ref[pl.ds(t % 2, 1), :, :] = s[None]
+
+
+def _packed_pass_pipe(queries, corpus, size, tile, groups, interpret,
+                      precision, variant: int = 1):
+    """Pipelined twin of ``_packed_pass`` — same [num_tiles, 2, B] output.
+
+    Grid quirks: num_tiles+1 steps; the corpus block index clamps to the
+    last tile on the trailing step (a harmless re-read — its scores are
+    never written), and the output block index clamps to 0 on step 0,
+    where nothing meaningful is written: Mosaic flushes an output block
+    only when its index CHANGES, so block 0 lands after step 1 has
+    packed tile 0.
+
+    variant 1 = single scratch + pl.when stages (WAR hazard);
+    variant 2 = [2, B, tile] ping-pong scratch, straight-line body
+    (no hazard between the VPU pack chain and the MXU score chain).
+    """
+    n, d = corpus.shape
+    b = queries.shape[0]
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    assert tile % groups == 0
+    num_tiles = n // tile
+    size_arr = jnp.asarray([n if size is None else size], jnp.int32)
+    last = num_tiles - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles + 1,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d),
+                         lambda i, *_: (jnp.minimum(i, last), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, b),
+                         lambda i, *_: (jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, tile), jnp.float32) if variant == 1
+            else pltpu.VMEM((2, b, tile), jnp.float32)],
+    )
+    if variant == 1:
+        kern = functools.partial(_packed_extract_kernel_pipe, tile=tile,
+                                 groups=groups, num_tiles=num_tiles,
+                                 precision=precision)
+    else:
+        kern = functools.partial(_packed_extract_kernel_pipe2, tile=tile,
+                                 groups=groups, precision=precision)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 2, b), jnp.float32),
+        ],
+        # [B, tile] f32 scratch (16/32 MB at B=1024/tile=4096) on top of
+        # the streaming buffers exceeds the 16 MB default scoped-VMEM
+        # cap; v5e has 128 MB (the relay AOT helper accepts raised
+        # limits — proven by _extract_pass).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(size_arr, queries.astype(jnp.float32), corpus)
+
+
 def _packed_pass(queries, corpus, size, tile, groups, interpret, precision):
     n, d = corpus.shape
     b = queries.shape[0]
@@ -569,12 +736,14 @@ def _unpack_ub(vals, tile):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile", "groups", "interpret",
-                                    "precision", "union_tiles", "pad_r"))
+                                    "precision", "union_tiles", "pad_r",
+                                    "pipeline"))
 def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
                           size: jax.Array | int | None = None,
                           tile: int = 4096, groups: int = 8,
                           union_tiles: int = 32, pad_r: int | None = None,
-                          interpret: bool = False, precision=None):
+                          interpret: bool = False, precision=None,
+                          pipeline: bool = False):
     """EXACT top-k via single-pass packed extraction + certified covers.
 
     queries [B,D] pre-normalized (scores must lie in (-2, 2)); corpus [N,D]
@@ -592,8 +761,14 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     assert 2 * num_tiles > k, (num_tiles, k)
     precision = _resolve_precision(corpus, precision)
     size_ = jnp.asarray(n if size is None else size, jnp.int32)
-    (w_packed,) = _packed_pass(queries, corpus, size, tile, groups,
-                               interpret, precision)          # [T, 2, B] f32
+    if pipeline:
+        # pipeline may be True/1 (single-scratch) or 2 (ping-pong).
+        (w_packed,) = _packed_pass_pipe(queries, corpus, size, tile,
+                                        groups, interpret, precision,
+                                        variant=int(pipeline))
+    else:
+        (w_packed,) = _packed_pass(queries, corpus, size, tile, groups,
+                                   interpret, precision)      # [T, 2, B]
     w_val = jax.lax.bitcast_convert_type(w_packed, jnp.int32)
 
     # Candidate set: 2 unit-winners per tile. Candidate (b, 2t+s) came
@@ -672,13 +847,14 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
 @functools.partial(jax.jit,
                    static_argnames=("k", "sub_batch", "tile", "groups",
                                     "interpret", "precision",
-                                    "union_tiles", "pad_r"))
+                                    "union_tiles", "pad_r", "pipeline"))
 def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
                                 k: int, size: jax.Array | int | None = None,
                                 sub_batch: int = 1024, tile: int = 4096,
                                 groups: int = 8, union_tiles: int = 32,
                                 pad_r: int | None = None,
-                                interpret: bool = False, precision=None):
+                                interpret: bool = False, precision=None,
+                                pipeline: bool = False):
     """``pallas_topk_certified`` over M sub-batches in ONE dispatch.
 
     Through the tunneled runtime every dispatch pays a ~31 ms host
@@ -700,7 +876,7 @@ def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
         return pallas_topk_certified(
             q, corpus, k, size, tile=tile, groups=groups,
             union_tiles=union_tiles, pad_r=pad_r, interpret=interpret,
-            precision=precision)
+            precision=precision, pipeline=pipeline)
 
     s, i = jax.lax.map(one, queries.reshape(m, sub_batch, d))
     scores = s.reshape(mb, k)

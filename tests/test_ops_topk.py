@@ -635,3 +635,30 @@ def test_certified2_multi_matches_single(rng):
                                    np.asarray(s1))
         total_unc += p1[-1, 0]
     assert packed[-1, 0] == total_unc
+
+
+# ----------------------- round-4: pipelined main pass (MXU/VPU overlap)
+
+def test_packed_pass_pipe_bit_identical(rng):
+    """The lookback-pipelined main pass must produce the exact packed
+    [T, 2, B] output of the single-stage kernel, including the padding
+    mask on a partial final tile."""
+    from optimized_rag_tpu.ops.topk import _packed_pass, _packed_pass_pipe
+    q, c = _make(rng, b=8, n=128 * 12, d=64)
+    q, c = jnp.asarray(q), jnp.asarray(c)
+    for size in (None, 128 * 12 - 45):
+        (a,) = _packed_pass(q, c, size, 128, 8, True, None)
+        (p,) = _packed_pass_pipe(q, c, size, 128, 8, True, None)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
+
+
+def test_certified_pipeline_matches_default(rng):
+    from optimized_rag_tpu.ops.topk import pallas_topk_certified
+    q, c = _make(rng, b=8, n=128 * 40, d=64)
+    oracle_s, oracle_i = _oracle_topk(q, c, 10)
+    s, packed = pallas_topk_certified(jnp.asarray(q), jnp.asarray(c), 10,
+                                      tile=128, interpret=True,
+                                      pipeline=True)
+    packed = np.asarray(packed)
+    assert packed[-1, 0] == 0
+    _check(s, packed[:-1], oracle_s, oracle_i)
