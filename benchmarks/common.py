@@ -76,6 +76,45 @@ def make_corpus_device(n: int, d: int, seed: int = 0, clusters: int = 0,
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
+def make_corpus_device_big(n: int, d: int, seed: int = 0,
+                           clusters: int = 4096, chunk: int = 1 << 20,
+                           dtype=None):
+    """Like make_corpus_device but ONE jit (lax.map over chunk keys):
+    the chunked variant keeps every part alive across the final
+    concatenate (2x peak HBM — an 8 GB corpus would OOM a 16 GB chip),
+    while here XLA sees the whole program and the peak is the output
+    plus one f32 chunk transient. Also a single dispatch, so a degraded
+    relay costs one round trip instead of n/chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    assert n % chunk == 0, (n, chunk)
+    m = n // chunk
+
+    @jax.jit
+    def gen(key):
+        k_centers, k_chunks = jax.random.split(key)
+        centers = (jax.random.normal(k_centers, (max(clusters, 1), d),
+                                     jnp.float32) * 2.0)
+
+        def one(k):
+            k1, k2 = jax.random.split(k)
+            noise = jax.random.normal(k1, (chunk, d), jnp.float32)
+            if clusters:
+                assign = jax.random.randint(k2, (chunk,), 0, clusters)
+                x = centers[assign] + noise
+            else:
+                x = noise
+            x = x / jnp.maximum(
+                jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+            return x.astype(dtype) if dtype is not None else x
+
+        return jax.lax.map(one, jax.random.split(k_chunks, m))
+
+    out = gen(jax.random.PRNGKey(seed))
+    return out.reshape(n, d)
+
+
 def timed(fn, iters: int = 10, warmup: int = 1):
     """Returns seconds/iteration; fn must materialize its own result."""
     for _ in range(warmup):

@@ -119,7 +119,11 @@ def _tile_topk_kernel(size_ref, q_ref, c_ref, s_out, i_out, *, tile: int,
     """Stage 1: per-corpus-tile top-k, scores never leave VMEM.
 
     Grid is (num_tiles,). q_ref [B,D] (full, resident); c_ref [tile,D] is the
-    current corpus tile; outputs are the tile-local top-k [1,B,k].
+    current corpus tile; outputs are the tile-local top-k [1,k,B].
+    (k-major: with B minor the block pads k up to the 8-sublane multiple
+    only — the earlier [1,B,k] layout padded k=10 to the 128-lane width,
+    a 12.8x HBM expansion that OOM'd a 32M-row corpus at B=1024, and
+    every in-kernel write was a strided lane-column store.)
     Queries are cast to the corpus dtype (Mosaic wants matching operand
     dtypes); accumulation is always float32.
     """
@@ -136,8 +140,8 @@ def _tile_topk_kernel(size_ref, q_ref, c_ref, s_out, i_out, *, tile: int,
     for j in range(k):
         m = jnp.max(scores, axis=1)                           # [B]
         a = jnp.argmax(scores, axis=1).astype(jnp.int32)      # [B]
-        s_out[0, :, j] = m
-        i_out[0, :, j] = a + base
+        s_out[0, j, :] = m
+        i_out[0, j, :] = a + base
         scores = jnp.where(col == a[:, None], NEG_INF, scores)
 
 
@@ -151,8 +155,8 @@ def _resolve_precision(corpus, precision):
 def _tile_pass(queries, corpus, size, tile, tile_k, interpret, precision):
     """Stage 1: run the per-tile extraction kernel.
 
-    Returns (tile_s, tile_i), each [num_tiles, B, tile_k] — the tile-local
-    top-``tile_k`` winners.
+    Returns (tile_s, tile_i), each [num_tiles, tile_k, B] — the tile-local
+    top-``tile_k`` winners (k-major; see _tile_topk_kernel).
     """
     n, d = corpus.shape
     b = queries.shape[0]
@@ -169,9 +173,9 @@ def _tile_pass(queries, corpus, size, tile, tile_k, interpret, precision):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, tile_k), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, tile_k, b), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, tile_k), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, tile_k, b), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -180,9 +184,14 @@ def _tile_pass(queries, corpus, size, tile, tile_k, interpret, precision):
                           precision=precision),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, b, tile_k), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, b, tile_k), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, tile_k, b), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, tile_k, b), jnp.int32),
         ],
+        # Large-tile/large-B shapes (e.g. tile=4096 at B=1024: a 16 MB
+        # [B, tile] f32 score block) exceed the 16 MB default scoped-
+        # VMEM cap; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
             transcendentals=0),
@@ -192,9 +201,9 @@ def _tile_pass(queries, corpus, size, tile, tile_k, interpret, precision):
 
 def _merge_tile_winners(tile_s, tile_i, k):
     """Stage 2: merge tile winners (tiny: [B, tiles*tile_k])."""
-    t, b, tile_k = tile_s.shape
-    cand_s = jnp.transpose(tile_s, (1, 0, 2)).reshape(b, t * tile_k)
-    cand_i = jnp.transpose(tile_i, (1, 0, 2)).reshape(b, t * tile_k)
+    t, tile_k, b = tile_s.shape
+    cand_s = jnp.transpose(tile_s, (2, 0, 1)).reshape(b, t * tile_k)
+    cand_i = jnp.transpose(tile_i, (2, 0, 1)).reshape(b, t * tile_k)
     top_s, pos = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     return top_s, top_i
@@ -273,7 +282,7 @@ def pallas_topk_verified(queries: jax.Array, corpus: jax.Array, k: int,
 
     size_ = jnp.asarray(n if size is None else size, jnp.int32)
     tau = top_s[:, k - 1]                                   # [B]
-    s_last = jnp.transpose(tile_s[:, :, tile_k - 1])        # [B, T]
+    s_last = jnp.transpose(tile_s[:, tile_k - 1, :])        # [B, T]
     sus_val = jnp.where(s_last > tau[:, None], s_last, -jnp.inf)
     sus_sval, sus_t = jax.lax.top_k(sus_val, r)             # [B, r]
 
@@ -360,7 +369,7 @@ def pallas_topk_verified_batch(queries: jax.Array, corpus: jax.Array,
     size_ = jnp.asarray(n if size is None else size, jnp.int32)
 
     tau = top_s[:, k - 1]                                    # [B]
-    s_last = jnp.transpose(tile_s[:, :, tile_k - 1])         # [B, T]
+    s_last = jnp.transpose(tile_s[:, tile_k - 1, :])         # [B, T]
     sus = s_last > tau[:, None]                              # [B, T]
     # Hottest tiles across the batch, by worst-case hidden margin.
     priority = jnp.max(jnp.where(sus, s_last - tau[:, None], -jnp.inf),
