@@ -75,13 +75,30 @@ def main():
     # 8.6 GB corpus (winner buffers + merge transposes); at B=128 /
     # tile=1024 the oracle peaks ~0.5 GB and stays bit-exact vs the
     # certified kernel (same MXU f32-accumulated bf16 dot per tile).
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        log(f"hbm: {stats.get('bytes_in_use', '?')} in use / "
+            f"{stats.get('bytes_limit', '?')} limit")
+    except Exception as exc:  # not all backends expose memory_stats
+        log(f"memory_stats unavailable: {exc}")
+
     bo = 128
-    so = np.sort(np.asarray(T.pallas_topk(q1[:bo], corpus, k, size=n,
-                                          tile_k=k)[0]), axis=1)
+    try:
+        so = np.sort(np.asarray(T.pallas_topk(q1[:bo], corpus, k, size=n,
+                                              tile_k=k)[0]), axis=1)
+        mism = None  # filled after the certified run
+    except Exception as exc:
+        # The oracle's [N/tile, k, B] winner buffers can OOM next to the
+        # corpus at the largest sizes; the certified kernel's uncovered
+        # counter is the primary exactness evidence, so continue.
+        log(f"oracle skipped ({type(exc).__name__}); "
+            "relying on the exactness certificate")
+        so = None
     s, i = T.pallas_topk_certified(q1, corpus, k, size=n)
     s, i = np.asarray(s), np.asarray(i)
     unc = int(i[b, 0])
-    mism = int((np.sort(s[:bo], axis=1) != so).sum())
+    mism = (int((np.sort(s[:bo], axis=1) != so).sum())
+            if so is not None else None)
     emit({"check": f"certified_{args.rows_mib}M", "uncovered": unc,
           "score_mismatch": mism, "corpus_gb": round(gb, 1)})
 
