@@ -115,6 +115,44 @@ def make_corpus_device_big(n: int, d: int, seed: int = 0,
     return out.reshape(n, d)
 
 
+def make_corpus_device_int8(n: int, d: int, seed: int = 0,
+                            clusters: int = 4096, chunk: int = 1 << 20):
+    """Clustered unit corpus generated AND quantized chunk-wise in one
+    jit: the f32 source never materializes (48M x 128 f32 would be
+    24 GB), only the int8 codes + per-row scales leave the map body.
+    Returns (codes [n, d] int8, scale [n] f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from optimized_rag_tpu.ops.quantize import quantize_int8
+
+    assert n % chunk == 0, (n, chunk)
+    m = n // chunk
+
+    @jax.jit
+    def gen(key):
+        k_centers, k_chunks = jax.random.split(key)
+        centers = (jax.random.normal(k_centers, (max(clusters, 1), d),
+                                     jnp.float32) * 2.0)
+
+        def one(k):
+            k1, k2 = jax.random.split(k)
+            noise = jax.random.normal(k1, (chunk, d), jnp.float32)
+            if clusters:
+                assign = jax.random.randint(k2, (chunk,), 0, clusters)
+                x = centers[assign] + noise
+            else:
+                x = noise
+            x = x / jnp.maximum(
+                jnp.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+            return quantize_int8(x)
+
+        return jax.lax.map(one, jax.random.split(k_chunks, m))
+
+    codes, scale = gen(jax.random.PRNGKey(seed))
+    return codes.reshape(n, d), scale.reshape(n)
+
+
 def timed(fn, iters: int = 10, warmup: int = 1):
     """Returns seconds/iteration; fn must materialize its own result."""
     for _ in range(warmup):

@@ -145,7 +145,8 @@ class RAGAgent:
         dim = getattr(embed_service, "dim", s.encoder.dim)
         import jax.numpy as jnp
         corpus_dtype = {"float32": jnp.float32,
-                        "bfloat16": jnp.bfloat16}[s.retrieval.corpus_dtype]
+                        "bfloat16": jnp.bfloat16,
+                        "int8": jnp.int8}[s.retrieval.corpus_dtype]
         self.dense = DenseIndex(dim=dim, capacity_block=65536, tile=1024,
                                 dtype=corpus_dtype)
         self.lexical = LexicalIndex()
@@ -308,7 +309,9 @@ class RAGAgent:
         if stale:
             ann = build_index_for(kind, self.dense.dim, s, mesh=mesh,
                                   tile=self.dense.tile)
-            emb = self.dense.embeddings()[: self.dense.size]
+            # Dequantized f32 in int8 mode: normalize() inside the IVF
+            # build would truncate raw int8 codes back to int8 zeros.
+            emb = self.dense.vectors_f32()
             if hasattr(ann, "build"):          # IVF family: frozen build
                 ann.build(emb, balanced=s.ivf.balanced_build)
             else:                              # sharded dense: appendable

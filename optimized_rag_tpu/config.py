@@ -109,6 +109,9 @@ class RetrievalConfig:
     shard_axis: str = "data"        # mesh axis the corpus is sharded over
     # "bfloat16" halves the HBM read; DenseIndex then oversamples 4x and
     # rescores with f32 accumulation (measured recall 1.0 vs f32 oracle).
+    # "int8" quarters it (per-row-scale symmetric quantization,
+    # ops/quantize.py) — ~2x the rows per chip vs bf16 at the measured
+    # ~7.5 GB resident ceiling; same oversample+rescore recovery.
     corpus_dtype: str = "float32"
     # Run the whole hybrid query (encoder forward + dual top-k + fusion)
     # as ONE device dispatch (ops/fused_query.py). Per-dispatch RTT

@@ -186,7 +186,8 @@ class HybridRetriever:
             w, self.half_life_days,
             encode_fn=enc._fwd, matryoshka_dim=enc.matryoshka_dim,
             candidate_k=ck, k=min(top_k, 2 * ck),
-            k1=self.lexical.k1, b=self.lexical.b))
+            k1=self.lexical.k1, b=self.lexical.b,
+            row_scale=self.dense.row_scale))
         k = min(top_k, 2 * ck)
         enc.cache_put(query, packed[5, : enc.dim])
         out = []
@@ -240,7 +241,8 @@ class HybridRetriever:
                 qn0, self.dense.embeddings(), self.dense.size, qt, qv,
                 dvc["champ_docs"], dvc["champ_tf"], dvc["champ_valid"],
                 dvc["idf"], dvc["doc_len"], dvc["avg_len"],
-                k=kk, k1=self.lexical.k1, b=self.lexical.b))
+                k=kk, k1=self.lexical.k1, b=self.lexical.b,
+                row_scale=self.dense.row_scale))
             ds, di = packed[0, 0], packed[1, 0].astype(np.int64)
             bs, bi = packed[0, -1], packed[1, -1].astype(np.int64)
             dense_ids = [int(i) for s, i in zip(ds, di)
@@ -291,7 +293,8 @@ class HybridRetriever:
         qn = qn / max(np.linalg.norm(qn), 1e-9)
         packed = np.asarray(fuse_candidates(
             qn, self.dense.embeddings(), cand_ids, cand_valid, kw, ages,
-            w, self.half_life_days, k=min(top_k, c_pad)))
+            w, self.half_life_days, k=min(top_k, c_pad),
+            row_scale=self.dense.row_scale))
         fused, pos = packed[0], packed[1].astype(np.int64)
         out = []
         for col, (s, p) in enumerate(zip(fused, pos)):

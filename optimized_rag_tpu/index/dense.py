@@ -49,8 +49,14 @@ class DenseIndex:
         self.capacity_block = _round_up(capacity_block, tile)
         self.tile = tile
         self.dtype = dtype
+        # int8 storage (ops/quantize.py): 4x less HBM than f32, with a
+        # per-row f32 dequantization scale; searches scan quantized and
+        # rescore candidates in f32 like the bf16 path.
+        self.quantized = dtype == jnp.int8
         self.size = 0
         self._emb = jnp.zeros((self.capacity_block, dim), dtype)
+        self._scale = (jnp.zeros((self.capacity_block,), jnp.float32)
+                       if self.quantized else None)
         self._tombstones: set[int] = set()
         # Bumped whenever existing row->vector assignments change
         # (delete/compact): side caches keyed by row id (e.g. the
@@ -68,6 +74,10 @@ class DenseIndex:
             return
         new_cap = _round_up(needed, self.capacity_block)
         pad = jnp.zeros((new_cap - self.capacity, self.dim), self.dtype)
+        if self.quantized:
+            self._scale = jnp.concatenate(
+                [self._scale,
+                 jnp.zeros((new_cap - self.capacity,), jnp.float32)])
         self._emb = jnp.concatenate([self._emb, pad], axis=0)
 
     def add(self, embeddings) -> np.ndarray:
@@ -76,9 +86,16 @@ class DenseIndex:
         assert emb.ndim == 2 and emb.shape[1] == self.dim, emb.shape
         n = emb.shape[0]
         self._ensure_capacity(self.size + n)
-        emb = normalize(emb).astype(self.dtype)
+        unit = normalize(emb.astype(jnp.float32))
+        if self.quantized:
+            from optimized_rag_tpu.ops.quantize import quantize_int8
+            rows, scale = quantize_int8(unit)
+            self._scale = jax.lax.dynamic_update_slice(
+                self._scale, scale, (self.size,))
+        else:
+            rows = unit.astype(self.dtype)
         self._emb = jax.lax.dynamic_update_slice(
-            self._emb, emb, (self.size, 0))
+            self._emb, rows, (self.size, 0))
         ids = np.arange(self.size, self.size + n, dtype=np.int64)
         self.size += n
         return ids
@@ -92,6 +109,8 @@ class DenseIndex:
             return
         zeros = jnp.zeros((len(live), self.dim), self.dtype)
         self._emb = self._emb.at[jnp.asarray(live)].set(zeros)
+        if self.quantized:
+            self._scale = self._scale.at[jnp.asarray(live)].set(0.0)
         self._tombstones.update(live)
         self.epoch += 1
 
@@ -106,6 +125,12 @@ class DenseIndex:
         if len(keep):
             new_emb = jax.lax.dynamic_update_slice(
                 new_emb, self._emb[jnp.asarray(keep)], (0, 0))
+        if self.quantized:
+            new_scale = jnp.zeros((new_cap,), jnp.float32)
+            if len(keep):
+                new_scale = jax.lax.dynamic_update_slice(
+                    new_scale, self._scale[jnp.asarray(keep)], (0,))
+            self._scale = new_scale
         self._emb = new_emb
         self.size = len(keep)
         self._tombstones.clear()
@@ -115,11 +140,36 @@ class DenseIndex:
     # --------------------------------------------------------------- search
 
     def embeddings(self) -> jax.Array:
-        """The padded device matrix [capacity, dim] (rows >= size are 0)."""
+        """The padded device matrix [capacity, dim] (rows >= size are 0).
+
+        Raw storage: int8 codes in quantized mode — use ``vectors_f32``
+        when real-valued vectors are needed (IVF builds, exports).
+        """
         return self._emb
 
+    @property
+    def row_scale(self):
+        """Per-row dequantization scales [capacity] (int8 mode), else
+        None — pass straight to the ops' ``row_scale`` parameters."""
+        return self._scale
+
+    def vectors_f32(self, limit: int | None = None) -> jax.Array:
+        """Float32 unit vectors [limit or size, dim] — dequantized in
+        int8 mode, upcast otherwise."""
+        stop = self.size if limit is None else limit
+        rows = self._emb[:stop]
+        if self.quantized:
+            from optimized_rag_tpu.ops.quantize import dequantize_int8
+            return dequantize_int8(rows, self._scale[:stop])
+        return rows.astype(jnp.float32)
+
     def get(self, ids) -> jax.Array:
-        return self._emb[jnp.asarray(np.asarray(ids, np.int64))]
+        rows = self._emb[jnp.asarray(np.asarray(ids, np.int64))]
+        if self.quantized:
+            from optimized_rag_tpu.ops.quantize import dequantize_int8
+            return dequantize_int8(
+                rows, self._scale[jnp.asarray(np.asarray(ids, np.int64))])
+        return rows
 
     def _settle_certificate(self, q, scores, ids, kk):
         """Resolve a ``defer_certificate`` dispatch: ids fetched as np.
@@ -157,7 +207,26 @@ class DenseIndex:
         # otherwise crowd out genuinely-negative matches).
         slack = min(len(self._tombstones), max(0, self.size - k))
         kk = min(k + slack, self.size)
-        if self.dtype == jnp.bfloat16 and self.size > 4 * kk:
+        if self.quantized:
+            # int8 scan (quarter the f32 HBM read) + dequantized f32
+            # rescore of a 4x-oversampled candidate set. The certified
+            # packed kernel doesn't carry scales, so this routes through
+            # the scaled two-stage kernel on TPU / the scaled streaming
+            # scan elsewhere.
+            from optimized_rag_tpu.ops.topk import (
+                chunked_topk, pallas_topk, rescore_topk)
+            cc = min(4 * kk, self.size)
+            if jax.default_backend() == "tpu":
+                c_s, cand = pallas_topk(q, self._emb, cc, size=self.size,
+                                        tile=self.tile,
+                                        row_scale=self._scale)
+            else:
+                c_s, cand = chunked_topk(q, self._emb, cc, size=self.size,
+                                         row_scale=self._scale)
+            scores, ids = rescore_topk(q, self._emb, cand, kk,
+                                       row_scale=self._scale)
+            scores, ids = np.asarray(scores), np.asarray(ids, np.int64)
+        elif self.dtype == jnp.bfloat16 and self.size > 4 * kk:
             # bf16 storage (half the HBM read): oversample 4x in the fast
             # low-precision pass, then rescore candidates with float32
             # accumulation — measured recall 1.0 vs the f32 oracle
@@ -212,8 +281,15 @@ class DenseIndex:
         # Oversample by the alignment slack so pre-from_row rows caught by
         # the tile-aligned slice cannot crowd out genuine tail rows.
         kk = min(k + (from_row - start), self.size - start)
-        scores, ids = dispatch_topk(q, tail, kk, size=self.size - start,
-                                    tile=self.tile)
+        if self.quantized:
+            from optimized_rag_tpu.ops.topk import chunked_topk
+            tail_scale = jax.lax.dynamic_slice(
+                self._scale, (start,), (tail.shape[0],))
+            scores, ids = chunked_topk(q, tail, kk, size=self.size - start,
+                                       row_scale=tail_scale)
+        else:
+            scores, ids = dispatch_topk(q, tail, kk, size=self.size - start,
+                                        tile=self.tile)
         scores = np.asarray(scores)
         ids = np.asarray(ids, np.int64) + start
         valid = (ids >= from_row) & (ids < self.size) & np.isfinite(scores)
@@ -228,18 +304,21 @@ class DenseIndex:
     # ------------------------------------------------------------- snapshot
 
     def state_dict(self) -> dict:
-        return {
+        state = {
             "dim": self.dim, "size": self.size, "tile": self.tile,
             "capacity_block": self.capacity_block,
             "dtype": str(jnp.zeros((), self.dtype).dtype),
             "embeddings": np.asarray(self._emb[:self.size]),
             "tombstones": np.array(sorted(self._tombstones), np.int64),
         }
+        if self.quantized:
+            state["scale"] = np.asarray(self._scale[:self.size])
+        return state
 
     @classmethod
     def from_state_dict(cls, state: dict) -> "DenseIndex":
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                 "float16": jnp.float16}[str(state["dtype"])]
+                 "float16": jnp.float16, "int8": jnp.int8}[str(state["dtype"])]
         idx = cls(int(state["dim"]), int(state["capacity_block"]),
                   dtype, int(state["tile"]))
         emb = state["embeddings"]
@@ -247,6 +326,10 @@ class DenseIndex:
             idx._ensure_capacity(len(emb))
             idx._emb = jax.lax.dynamic_update_slice(
                 idx._emb, jnp.asarray(emb, idx.dtype), (0, 0))
+            if idx.quantized:
+                idx._scale = jax.lax.dynamic_update_slice(
+                    idx._scale, jnp.asarray(state["scale"], jnp.float32),
+                    (0,))
             idx.size = len(emb)
         idx._tombstones = set(int(i) for i in state.get("tombstones", []))
         return idx

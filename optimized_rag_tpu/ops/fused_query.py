@@ -48,7 +48,7 @@ def encode_and_retrieve(params, q_ids, q_mask,
                         weights, half_life_days,
                         *, encode_fn, matryoshka_dim: int | None,
                         candidate_k: int, k: int,
-                        k1: float = 1.5, b: float = 0.75):
+                        k1: float = 1.5, b: float = 0.75, row_scale=None):
     """One dispatch from query tokens to fused hybrid top-k.
 
     ``encode_fn(params, ids, mask) -> [1, D]`` is the (static) bi-encoder
@@ -74,7 +74,9 @@ def encode_and_retrieve(params, q_ids, q_mask,
     q = q.astype(jnp.float32)
 
     # ---- both retrieval channels (same compute as ops/hybrid.dual_topk)
-    dense_s, dense_i = exact_topk(q, corpus, candidate_k, size=size)
+    # row_scale dequantizes an int8 corpus's scores (ops/quantize.py).
+    dense_s, dense_i = exact_topk(q, corpus, candidate_k, size=size,
+                                  row_scale=row_scale)
     bm = bm25_score_champions(q_terms, q_valid, champ_docs, champ_tf,
                               champ_valid, idf, doc_len, avg_len,
                               k1=k1, b=b)
@@ -105,6 +107,8 @@ def encode_and_retrieve(params, q_ids, q_mask,
     # ---- gather + score + fuse (same math as ops/hybrid.fuse_candidates)
     safe = jnp.maximum(cand_ids, 0)
     emb = corpus[safe].astype(jnp.float32)                     # [2C, D]
+    if row_scale is not None:
+        emb = emb * row_scale[safe][:, None].astype(jnp.float32)
     sem = emb @ q[0]
     ages = jnp.maximum(now_days - created_days[safe], 0.0)
     tmp = temporal_decay(ages, half_life_days)

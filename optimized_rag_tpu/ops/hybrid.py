@@ -31,11 +31,12 @@ from optimized_rag_tpu.ops.topk import NEG_INF, exact_topk
 @functools.partial(jax.jit, static_argnames=("k",))
 def dual_topk(q_emb, corpus, size, q_terms, q_valid, champ_docs, champ_tf,
               champ_valid, idf, doc_len, avg_len, k: int,
-              k1: float = 1.5, b: float = 0.75):
+              k1: float = 1.5, b: float = 0.75, row_scale=None):
     """One dispatch for both retrieval channels.
 
     Returns (dense_s [B,k], dense_i [B,k], bm25_s [k], bm25_i [k]).
-    q_emb [B,D] normalized; BM25 args as in ops/bm25.py.
+    q_emb [B,D] normalized; BM25 args as in ops/bm25.py. ``row_scale``
+    [N] dequantizes an int8 corpus's scores (ops/quantize.py).
     """
     # ids ride back as float32 in the packed buffer below; float32 is only
     # exact for integers < 2^24, so refuse corpora past that (checked at
@@ -44,7 +45,8 @@ def dual_topk(q_emb, corpus, size, q_terms, q_valid, champ_docs, champ_tf,
     assert corpus.shape[0] < (1 << 24), (
         f"dual_topk id packing is exact only below 2^24 rows; "
         f"got {corpus.shape[0]}")
-    dense_s, dense_i = exact_topk(q_emb, corpus, k, size=size)
+    dense_s, dense_i = exact_topk(q_emb, corpus, k, size=size,
+                                  row_scale=row_scale)
     scores = bm25_score_champions(q_terms, q_valid, champ_docs, champ_tf,
                                   champ_valid, idf, doc_len, avg_len,
                                   k1=k1, b=b)
@@ -66,17 +68,21 @@ def dual_topk(q_emb, corpus, size, q_terms, q_valid, champ_docs, champ_tf,
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def fuse_candidates(q_emb, corpus, cand_ids, cand_valid, kw_scores,
-                    age_days, weights, half_life_days, k: int):
+                    age_days, weights, half_life_days, k: int,
+                    row_scale=None):
     """Score + fuse a candidate union in one dispatch.
 
     q_emb [D] normalized; cand_ids [C] int32 (padded, cand_valid masks);
     kw_scores [C] BM25 scores (0 for dense-only candidates); age_days [C];
-    weights [3] = (semantic, keyword, temporal).
+    weights [3] = (semantic, keyword, temporal). ``row_scale`` [N]
+    dequantizes gathered int8 corpus rows (ops/quantize.py).
     Returns (fused_scores [k], positions [k] into the candidate list;
     invalid slots are -1 / -inf).
     """
     safe = jnp.maximum(cand_ids, 0)
     emb = corpus[safe].astype(jnp.float32)                     # [C, D]
+    if row_scale is not None:
+        emb = emb * row_scale[safe][:, None].astype(jnp.float32)
     sem = emb @ q_emb.astype(jnp.float32)                      # [C]
     tmp = temporal_decay(age_days, half_life_days)
     stack = jnp.stack([sem, kw_scores.astype(jnp.float32), tmp])

@@ -44,11 +44,18 @@ def _mask_padding(scores: jax.Array, base: int | jax.Array, size) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def exact_topk(queries: jax.Array, corpus: jax.Array, k: int,
-               size: jax.Array | int | None = None):
-    """Brute-force fused matmul+top-k. queries [B,D], corpus [N,D]."""
+               size: jax.Array | int | None = None,
+               row_scale: jax.Array | None = None):
+    """Brute-force fused matmul+top-k. queries [B,D], corpus [N,D].
+
+    ``row_scale`` [N]: per-row dequantization scales for an integer
+    corpus (ops/quantize.py), applied as one fused broadcast multiply.
+    """
     scores = jnp.dot(queries.astype(jnp.float32), corpus.astype(jnp.float32).T,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
+    if row_scale is not None:
+        scores = scores * row_scale[None, :].astype(jnp.float32)
     if size is not None:
         scores = _mask_padding(scores, 0, size)
     return jax.lax.top_k(scores, k)
@@ -56,7 +63,8 @@ def exact_topk(queries: jax.Array, corpus: jax.Array, k: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def chunked_topk(queries: jax.Array, corpus: jax.Array, k: int,
-                 size: jax.Array | int | None = None, chunk: int = 65536):
+                 size: jax.Array | int | None = None, chunk: int = 65536,
+                 row_scale: jax.Array | None = None):
     """Streaming top-k over corpus chunks; memory O(B*(chunk+k)).
 
     The corpus is reshaped to [T, chunk, D] and scanned, carrying the
@@ -65,6 +73,9 @@ def chunked_topk(queries: jax.Array, corpus: jax.Array, k: int,
     one extra matmul and merged into the carry — no host-side padding
     copy for awkward shard capacities (e.g. 12.5M rows rounded to a
     tile multiple, not a chunk multiple).
+
+    ``row_scale`` [N]: per-row dequantization scales for an integer
+    corpus (ops/quantize.py); applied to each chunk's scores in-scan.
     """
     n, d = corpus.shape
     b = queries.shape[0]
@@ -72,14 +83,21 @@ def chunked_topk(queries: jax.Array, corpus: jax.Array, k: int,
     rem = n - t * chunk
     q = queries.astype(jnp.float32)
     corpus3 = corpus[:t * chunk].reshape(t, chunk, d)
+    scale3 = (None if row_scale is None
+              else row_scale[:t * chunk].astype(jnp.float32)
+              .reshape(t, chunk))
     size_ = jnp.asarray(n if size is None else size, jnp.int32)
+
+    def score_rows(rows, scale_row):
+        s = jnp.dot(q, rows.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [B, rows]
+        return s if scale_row is None else s * scale_row[None, :]
 
     def step(carry, inp):
         best_s, best_i = carry
-        tile_idx, tile = inp
-        s = jnp.dot(q, tile.astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)     # [B, chunk]
+        tile_idx, tile, scale_row = inp
+        s = score_rows(tile, scale_row)                      # [B, chunk]
         base = tile_idx * chunk
         s = _mask_padding(s, base, size_)
         cand_s = jnp.concatenate([best_s, s], axis=1)
@@ -89,17 +107,24 @@ def chunked_topk(queries: jax.Array, corpus: jax.Array, k: int,
         top_i = jnp.take_along_axis(cand_i, pos, axis=1)
         return (top_s, top_i), None
 
+    if scale3 is None:
+        def step_unscaled(carry, inp):
+            tile_idx, tile = inp
+            return step(carry, (tile_idx, tile, None))
+        scan_fn, xs = step_unscaled, (jnp.arange(t, dtype=jnp.int32),
+                                      corpus3)
+    else:
+        scan_fn, xs = step, (jnp.arange(t, dtype=jnp.int32), corpus3,
+                             scale3)
     init = (jnp.full((b, k), NEG_INF), jnp.full((b, k), -1, jnp.int32))
     if t:
-        (scores, idx), _ = jax.lax.scan(
-            step, init, (jnp.arange(t, dtype=jnp.int32), corpus3))
+        (scores, idx), _ = jax.lax.scan(scan_fn, init, xs)
     else:
         scores, idx = init
     if rem:
         tail = corpus[t * chunk:]
-        s = jnp.dot(q, tail.astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)       # [B, rem]
+        s = score_rows(tail, None if row_scale is None
+                       else row_scale[t * chunk:].astype(jnp.float32))
         base = t * chunk
         s = _mask_padding(s, base, size_)
         cand_s = jnp.concatenate([scores, s], axis=1)
@@ -133,9 +158,14 @@ def _tile_topk_kernel(size_ref, q_ref, c_ref, s_out, i_out, *, tile: int,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision)                                  # [B, tile]
-    base = t * tile
+    _extract_tile_winners(scores, t * tile, size_ref[0], s_out, i_out, k)
+
+
+def _extract_tile_winners(scores, base, size_val, s_out, i_out, k):
+    """Shared stage-1 extraction: k-step masked argmax over [B, tile]
+    scores into the k-major [1, k, B] winner blocks."""
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col + base < size_ref[0], scores, NEG_INF)
+    scores = jnp.where(col + base < size_val, scores, NEG_INF)
     # Unrolled k-step masked argmax (k is small and static; VPU-friendly).
     for j in range(k):
         m = jnp.max(scores, axis=1)                           # [B]
@@ -145,6 +175,26 @@ def _tile_topk_kernel(size_ref, q_ref, c_ref, s_out, i_out, *, tile: int,
         scores = jnp.where(col == a[:, None], NEG_INF, scores)
 
 
+def _tile_topk_scaled_kernel(size_ref, q_ref, c_ref, scale_ref, s_out,
+                             i_out, *, tile: int, k: int, precision):
+    """Stage 1 for per-row-scaled integer corpora (ops/quantize.py).
+
+    c_ref [tile, D] is int8; scale_ref [1, tile] carries the per-row
+    dequantization scale. Both operands run the MXU in bfloat16 (int8
+    values <= 127 are exact in bf16; the f32->bf16 query cast is the
+    only rounding, and the float32 rescore after oversampling restores
+    final ranking), then one fused [B, tile] * [1, tile] broadcast
+    applies the scales.
+    """
+    t = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(jnp.bfloat16), c_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision) * scale_ref[:]                   # [B, tile]
+    _extract_tile_winners(scores, t * tile, size_ref[0], s_out, i_out, k)
+
+
 def _resolve_precision(corpus, precision):
     if precision is not None:
         return precision
@@ -152,26 +202,41 @@ def _resolve_precision(corpus, precision):
             else jax.lax.Precision.DEFAULT)
 
 
-def _tile_pass(queries, corpus, size, tile, tile_k, interpret, precision):
+def _tile_pass(queries, corpus, size, tile, tile_k, interpret, precision,
+               row_scale=None):
     """Stage 1: run the per-tile extraction kernel.
 
     Returns (tile_s, tile_i), each [num_tiles, tile_k, B] — the tile-local
-    top-``tile_k`` winners (k-major; see _tile_topk_kernel).
+    top-``tile_k`` winners (k-major; see _tile_topk_kernel). With
+    ``row_scale`` [N] (quantized corpus) the scaled kernel applies the
+    per-row dequantization factor to each tile's scores in VMEM.
     """
     n, d = corpus.shape
     b = queries.shape[0]
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     num_tiles = n // tile
     size_arr = jnp.asarray([n if size is None else size], jnp.int32)
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, d), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [size_arr, queries.astype(jnp.float32), corpus]
+    if row_scale is None:
+        kernel = functools.partial(_tile_topk_kernel, tile=tile, k=tile_k,
+                                   precision=precision)
+    else:
+        assert row_scale.shape == (n,), (row_scale.shape, n)
+        in_specs.append(pl.BlockSpec((1, tile), lambda i, *_: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(row_scale.astype(jnp.float32).reshape(1, n))
+        kernel = functools.partial(_tile_topk_scaled_kernel, tile=tile,
+                                   k=tile_k, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, tile_k, b), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -180,8 +245,7 @@ def _tile_pass(queries, corpus, size, tile, tile_k, interpret, precision):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_tile_topk_kernel, tile=tile, k=tile_k,
-                          precision=precision),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, tile_k, b), jnp.float32),
@@ -196,7 +260,7 @@ def _tile_pass(queries, corpus, size, tile, tile_k, interpret, precision):
             flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(size_arr, queries.astype(jnp.float32), corpus)
+    )(*operands)
 
 
 def _merge_tile_winners(tile_s, tile_i, k):
@@ -215,7 +279,7 @@ def _merge_tile_winners(tile_s, tile_i, k):
 def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
                 size: jax.Array | int | None = None, tile: int = 1024,
                 interpret: bool = False, precision=None,
-                tile_k: int | None = None):
+                tile_k: int | None = None, row_scale: jax.Array | None = None):
     """Fused matmul+top-k via a two-stage Pallas kernel.
 
     queries [B,D] (pre-normalized), corpus [N,D] with N % tile == 0.
@@ -230,14 +294,18 @@ def pallas_topk(queries: jax.Array, corpus: jax.Array, k: int,
     APPROXIMATE: any tile holding more than tile_k true top-k rows drops
     results, and RAG corpora cluster same-document chunks contiguously.
     Use ``pallas_topk_verified`` for exactness at tile_k<k speed.
+
+    ``row_scale`` [N]: per-row dequantization scales for an integer
+    corpus (ops/quantize.py) — scores become (q . c8_row) * scale_row.
     """
     n, d = corpus.shape
     assert k <= tile
     tile_k = min(tile_k or k, k)
     assert (n // tile) * tile_k >= k, (n // tile, tile_k, k)
-    precision = _resolve_precision(corpus, precision)
+    precision = (jax.lax.Precision.DEFAULT if row_scale is not None
+                 else _resolve_precision(corpus, precision))
     tile_s, tile_i = _tile_pass(queries, corpus, size, tile, tile_k,
-                                interpret, precision)
+                                interpret, precision, row_scale=row_scale)
     return _merge_tile_winners(tile_s, tile_i, k)
 
 
@@ -1261,16 +1329,20 @@ def pallas_topk_certified2_multi(queries: jax.Array, corpus: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def rescore_topk(queries: jax.Array, corpus: jax.Array,
-                 cand_ids: jax.Array, k: int):
+                 cand_ids: jax.Array, k: int,
+                 row_scale: jax.Array | None = None):
     """Exact float32 rescoring of an oversampled candidate set.
 
     queries [B,D]; cand_ids [B,C] (C >= k) from a fast low-precision scan.
     Gathers the C candidate rows per query and recomputes scores at
     HIGHEST precision — restores exact ranking after a bfloat16 first
-    pass for a cost of O(B*C*D) ≪ O(B*N*D).
+    pass for a cost of O(B*C*D) ≪ O(B*N*D). ``row_scale`` dequantizes
+    gathered integer rows (ops/quantize.py).
     """
     safe = jnp.maximum(cand_ids, 0)
     cand = corpus[safe].astype(jnp.float32)                 # [B, C, D]
+    if row_scale is not None:
+        cand = cand * row_scale[safe][..., None].astype(jnp.float32)
     # Exact f32 rescore via 2D dots — batched matvecs accumulate below
     # f32 on this backend (see _exact_rowwise_scores).
     scores = _exact_rowwise_scores(queries.astype(jnp.float32), cand,
