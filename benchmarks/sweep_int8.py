@@ -87,12 +87,13 @@ def quality(rng):
     del corpus, codes, scale
 
 
-def capacity(rng, rows_mib):
+def capacity(rng, args):
     import jax.numpy as jnp
 
     from benchmarks.common import make_corpus_device_int8
     from optimized_rag_tpu.ops import topk as T
 
+    rows_mib = args.rows_mib
     n, d, b, k = rows_mib * (1 << 20), 128, 1024, 10
     # tile=8192 keeps the two-stage winner buffers O(n/tile * k * B)
     # small next to the corpus (tile=1024 at 48M/B=1024 would need
@@ -112,6 +113,9 @@ def capacity(rng, rows_mib):
     # scan's xs copy doesn't fit next to the corpus.
     bo = 16
     try:
+        if args.certified_only:
+            raise RuntimeError("certified-only run: certificate carries "
+                               "exactness")
         so = np.sort(np.asarray(
             T.chunked_topk(q1[:bo], codes, k, row_scale=scale)[0]), axis=1)
         _, cand = T.pallas_topk(q1[:bo], codes, 4 * k, size=n, tile=tile,
@@ -125,6 +129,25 @@ def capacity(rng, rows_mib):
         mism = None
     emit({"check": f"int8_{rows_mib}M", "score_mismatch": mism,
           "corpus_gb": round(gb, 1)})
+
+    # Packed certified kernel with scales (single-pass extraction): the
+    # production large-corpus path via dispatch_topk(row_scale=...).
+    def certified():
+        return T.pallas_topk_certified(q1, codes, k, size=n,
+                                       row_scale=scale)
+
+    try:
+        unc = int(np.asarray(certified()[1])[-1, 0])
+        ms = timed(certified, lambda r: np.asarray(r[1][-1:]))
+        emit({"variant": f"int8_certified_b1024_{rows_mib}M",
+              "ms": round(ms, 2), "qps": round(b / ms * 1e3),
+              "uncovered": unc,
+              "effective_gb_s": round(gb / ms * 1e3, 1)})
+    except Exception as exc:
+        log(f"certified failed ({type(exc).__name__}): {exc}")
+
+    if args.certified_only:
+        return
 
     ms = timed(lambda: T.pallas_topk(q1, codes, k, size=n, tile=tile,
                                      row_scale=scale),
@@ -157,6 +180,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-mib", type=int, default=48)
     ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--certified-only", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -164,7 +188,7 @@ def main():
     rng = np.random.default_rng(0)
     if not args.skip_quality:
         quality(rng)
-    capacity(rng, args.rows_mib)
+    capacity(rng, args)
     log("done")
     return 0
 

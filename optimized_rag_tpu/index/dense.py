@@ -187,7 +187,8 @@ class DenseIndex:
         from optimized_rag_tpu.ops.topk import pallas_topk
         s2, i2 = pallas_topk(q, self._emb, kk, size=self.size,
                              tile=self.tile,
-                             interpret=jax.default_backend() != "tpu")
+                             interpret=jax.default_backend() != "tpu",
+                             row_scale=self._scale)
         return np.asarray(s2), np.asarray(i2)
 
     def search(self, queries, k: int, *, prefer_pallas=None,
@@ -209,22 +210,20 @@ class DenseIndex:
         kk = min(k + slack, self.size)
         if self.quantized:
             # int8 scan (quarter the f32 HBM read) + dequantized f32
-            # rescore of a 4x-oversampled candidate set. The certified
-            # packed kernel doesn't carry scales, so this routes through
-            # the scaled two-stage kernel on TPU / the scaled streaming
-            # scan elsewhere.
-            from optimized_rag_tpu.ops.topk import (
-                chunked_topk, pallas_topk, rescore_topk)
+            # rescore of a 4x-oversampled candidate set. dispatch_topk
+            # threads the scales into every kernel (incl. the packed
+            # certified path for large corpora).
+            from optimized_rag_tpu.ops.topk import rescore_topk
             cc = min(4 * kk, self.size)
-            if jax.default_backend() == "tpu":
-                c_s, cand = pallas_topk(q, self._emb, cc, size=self.size,
-                                        tile=self.tile,
-                                        row_scale=self._scale)
-            else:
-                c_s, cand = chunked_topk(q, self._emb, cc, size=self.size,
-                                         row_scale=self._scale)
-            scores, ids = rescore_topk(q, self._emb, cand, kk,
-                                       row_scale=self._scale)
+            c_s, cand = dispatch_topk(q, self._emb, cc, size=self.size,
+                                      prefer_pallas=prefer_pallas,
+                                      tile=self.tile,
+                                      defer_certificate=True,
+                                      row_scale=self._scale)
+            _, cand = self._settle_certificate(q, c_s, np.asarray(cand),
+                                               cc)
+            scores, ids = rescore_topk(q, self._emb, jnp.asarray(cand),
+                                       kk, row_scale=self._scale)
             scores, ids = np.asarray(scores), np.asarray(ids, np.int64)
         elif self.dtype == jnp.bfloat16 and self.size > 4 * kk:
             # bf16 storage (half the HBM read): oversample 4x in the fast

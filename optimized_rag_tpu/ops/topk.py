@@ -517,25 +517,48 @@ def _packed_extract_kernel(size_ref, q_ref, c_ref, val_out, *,
     f32-bitcast order — which lets every reduction run as a plain f32
     max (Mosaic has no int32 argmax/index reductions). 0.0 = padding."""
     t = pl.program_id(0)
-    b = q_ref.shape[0]
-    small = tile // groups
     scores = jax.lax.dot_general(
         q_ref[:].astype(c_ref.dtype), c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision)                                  # [B, tile]
-    base = t * tile
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
+    _pack_tile_scores(scores, t * tile, size_ref[0], val_out, tile, groups)
 
-    # Single unconditional path. A pl.when full-tile/tail split (round-4
-    # experiment) duplicated the extraction body's temporaries across the
-    # two branches and pushed the kernel's scoped-VMEM demand from <=16M
-    # to 18.66M — the b1024/tile=4096 shape then failed to compile on the
-    # relay's AOT helper (16.00M scoped limit). The mask+clamp are cheap
-    # elementwise ops that fuse into the packing pass; the measured floor
-    # gap lives in the dispatch overhead and the covers, not here.
+
+def _packed_extract_scaled_kernel(size_ref, q_ref, c_ref, scale_ref,
+                                  val_out, *, tile: int, groups: int,
+                                  precision):
+    """``_packed_extract_kernel`` for per-row-scaled integer corpora:
+    both dot operands run bfloat16 (int8 codes are exact in bf16; the
+    f32->bf16 query cast is the only extra rounding, and it is shared
+    with the cover rescores, which score the SAME function), then the
+    [1, tile] scale row dequantizes the block before packing."""
+    t = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(jnp.bfloat16), c_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision) * scale_ref[:]                   # [B, tile]
+    _pack_tile_scores(scores, t * tile, size_ref[0], val_out, tile, groups)
+
+
+def _pack_tile_scores(scores, base, size_val, val_out, tile, groups):
+    """Shared packing body: quantize+pack scores, tree-max to per-unit
+    winners, emit the top-2 packed unit winners.
+
+    Single unconditional path. A pl.when full-tile/tail split (round-4
+    experiment) duplicated the extraction body's temporaries across the
+    two branches and pushed the kernel's scoped-VMEM demand from <=16M
+    to 18.66M — the b1024/tile=4096 shape then failed to compile on the
+    relay's AOT helper (16.00M scoped limit). The mask+clamp are cheap
+    elementwise ops that fuse into the packing pass; the measured floor
+    gap lives in the dispatch overhead and the covers, not here.
+    """
+    b = scores.shape[0]
+    small = tile // groups
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
     sh = jnp.maximum(scores + 2.0, 0.0)                       # positive
-    sh = jnp.where(col + base < size_ref[0], sh, 0.0)         # pad -> 0
+    sh = jnp.where(col + base < size_val, sh, 0.0)            # pad -> 0
     p = jax.lax.bitcast_convert_type(sh, jnp.int32)           # monotone
     packed = jax.lax.bitcast_convert_type(
         (p & ~jnp.int32(tile - 1)) | col, jnp.float32)
@@ -724,30 +747,48 @@ def _packed_pass_pipe(queries, corpus, size, tile, groups, interpret,
     )(size_arr, queries.astype(jnp.float32), corpus)
 
 
-def _packed_pass(queries, corpus, size, tile, groups, interpret, precision):
+def _packed_pass(queries, corpus, size, tile, groups, interpret, precision,
+                 row_scale=None):
     n, d = corpus.shape
     b = queries.shape[0]
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     assert tile % groups == 0
     num_tiles = n // tile
     size_arr = jnp.asarray([n if size is None else size], jnp.int32)
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, d), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [size_arr, queries.astype(jnp.float32), corpus]
+    extra = {}
+    if row_scale is None:
+        kernel = functools.partial(_packed_extract_kernel, tile=tile,
+                                   groups=groups, precision=precision)
+    else:
+        assert row_scale.shape == (n,), (row_scale.shape, n)
+        in_specs.append(pl.BlockSpec((1, tile), lambda i, *_: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(row_scale.astype(jnp.float32).reshape(1, n))
+        kernel = functools.partial(_packed_extract_scaled_kernel, tile=tile,
+                                   groups=groups, precision=precision)
+        # The bf16 operand copies + scale row push the b1024/tile=4096
+        # shape past the 16 MB default scoped-VMEM cap; keep the default
+        # (validated) compile config for the unscaled path untouched.
+        extra = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 2, b), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_packed_extract_kernel, tile=tile, groups=groups,
-                          precision=precision),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, 2, b), jnp.float32),
@@ -756,7 +797,8 @@ def _packed_pass(queries, corpus, size, tile, groups, interpret, precision):
             flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(size_arr, queries.astype(jnp.float32), corpus)
+        **extra,
+    )(*operands)
 
 
 def _exact_rowwise_scores(queries, gathered, dtype, precision,
@@ -820,7 +862,8 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
                           tile: int = 4096, groups: int = 8,
                           union_tiles: int = 32, pad_r: int | None = None,
                           interpret: bool = False, precision=None,
-                          pipeline: bool = False):
+                          pipeline: bool = False,
+                          row_scale: jax.Array | None = None):
     """EXACT top-k via single-pass packed extraction + certified covers.
 
     queries [B,D] pre-normalized (scores must lie in (-2, 2)); corpus [N,D]
@@ -830,6 +873,11 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     callers rerun via ``pallas_topk`` otherwise (dispatch_topk automates
     this). Final scores always come from exact rescoring, never from the
     quantized extraction values.
+
+    ``row_scale`` [N] (integer corpora, ops/quantize.py): the scan and
+    every cover score the same scaled-bf16 function, so the certificate
+    means exact w.r.t. THAT scoring — pair with a float32
+    ``rescore_topk`` when final scores must be dequantized-f32-exact.
     """
     n, d = corpus.shape
     b = queries.shape[0]
@@ -840,12 +888,14 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     size_ = jnp.asarray(n if size is None else size, jnp.int32)
     if pipeline:
         # pipeline may be True/1 (single-scratch) or 2 (ping-pong).
+        assert row_scale is None, "pipelined variants are unscaled-only"
         (w_packed,) = _packed_pass_pipe(queries, corpus, size, tile,
                                         groups, interpret, precision,
                                         variant=int(pipeline))
     else:
         (w_packed,) = _packed_pass(queries, corpus, size, tile, groups,
-                                   interpret, precision)      # [T, 2, B]
+                                   interpret, precision,
+                                   row_scale=row_scale)       # [T, 2, B]
     w_val = jax.lax.bitcast_convert_type(w_packed, jnp.int32)
 
     # Candidate set: 2 unit-winners per tile. Candidate (b, 2t+s) came
@@ -874,7 +924,16 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     gathered = corpus[flat]                                   # [B, R*G, D]
     # Exact rescore on the proven 2D-dot path (see _exact_rowwise_scores:
     # batched-matvec contractions accumulate below f32 on this backend).
-    sc = _exact_rowwise_scores(queries, gathered, corpus.dtype, precision)
+    # Scaled mode mirrors the kernel's scoring exactly: bf16 operands,
+    # f32 accumulation, then the f32 scale multiply.
+    if row_scale is None:
+        sc = _exact_rowwise_scores(queries, gathered, corpus.dtype,
+                                   precision)
+    else:
+        sc = (_exact_rowwise_scores(queries,
+                                    gathered.astype(jnp.bfloat16),
+                                    jnp.bfloat16, precision)
+              * row_scale[flat].astype(jnp.float32))
     ok = valid_cand[:, :, None] & (members < size_)
     sc = jnp.where(ok.reshape(b, r_cnt * groups), sc, NEG_INF)
     top_s, pos = jax.lax.top_k(sc, k)
@@ -902,7 +961,7 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     uncovered = (jnp.sum(sus & ~selected[None, :]).astype(jnp.int32)
                  + jnp.sum(c3_viol).astype(jnp.int32))
     uval, ucol = _extract_pass(queries, corpus, size, tile, k, sel_tiles,
-                               interpret, precision)
+                               interpret, precision, row_scale=row_scale)
     uc = jnp.where(sel_valid[None, :, None],
                    jnp.transpose(uval, (2, 0, 1)), NEG_INF)   # [B, U, k]
     urow_b = jnp.transpose(sel_tiles[:, None, None] * tile + ucol,
@@ -931,7 +990,8 @@ def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
                                 groups: int = 8, union_tiles: int = 32,
                                 pad_r: int | None = None,
                                 interpret: bool = False, precision=None,
-                                pipeline: bool = False):
+                                pipeline: bool = False,
+                                row_scale: jax.Array | None = None):
     """``pallas_topk_certified`` over M sub-batches in ONE dispatch.
 
     Through the tunneled runtime every dispatch pays a ~31 ms host
@@ -953,7 +1013,7 @@ def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
         return pallas_topk_certified(
             q, corpus, k, size, tile=tile, groups=groups,
             union_tiles=union_tiles, pad_r=pad_r, interpret=interpret,
-            precision=precision, pipeline=pipeline)
+            precision=precision, pipeline=pipeline, row_scale=row_scale)
 
     s, i = jax.lax.map(one, queries.reshape(m, sub_batch, d))
     scores = s.reshape(mb, k)
@@ -1131,9 +1191,31 @@ def _extract_kernel(size_ref, tiles_ref, q_ref, c_ref, val_out, col_out, *,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision)                                  # [B, tile]
-    base = tiles_ref[t] * tile
-    iota = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-    scores = jnp.where(iota + base < size_ref[0], scores, NEG_INF)
+    _extract_rounds(scores, tiles_ref[t] * tile, size_ref[0], val_out,
+                    col_out, rounds)
+
+
+def _extract_scaled_kernel(size_ref, tiles_ref, q_ref, c_ref, scale_ref,
+                           val_out, col_out, *, tile: int, rounds: int,
+                           precision):
+    """``_extract_kernel`` for per-row-scaled integer corpora — same
+    bf16 scoring + scale multiply as ``_packed_extract_scaled_kernel``
+    (the c2 cover must score the SAME function as the main pass)."""
+    t = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(jnp.bfloat16), c_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision) * scale_ref[:]                   # [B, tile]
+    _extract_rounds(scores, tiles_ref[t] * tile, size_ref[0], val_out,
+                    col_out, rounds)
+
+
+def _extract_rounds(scores, base, size_val, val_out, col_out, rounds):
+    """Shared exact top-``rounds`` masked-argmax extraction body."""
+    b = scores.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(iota + base < size_val, scores, NEG_INF)
 
     def body(r, sc):
         m = jnp.max(sc, axis=1)                               # [B]
@@ -1146,7 +1228,7 @@ def _extract_kernel(size_ref, tiles_ref, q_ref, c_ref, val_out, col_out, *,
 
 
 def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
-                  precision):
+                  precision, row_scale=None):
     """Run ``_extract_kernel`` over ``tiles`` (int32 [steps] tile ids).
     Returns (val [steps, rounds, B] f32, col [steps, rounds, B] i32)."""
     n, d = corpus.shape
@@ -1154,15 +1236,28 @@ def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
     steps = tiles.shape[0]
     size_arr = jnp.asarray([n if size is None else size], jnp.int32)
+    in_specs = [
+        pl.BlockSpec((b, d), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, d), lambda i, size_r, tiles_r: (tiles_r[i], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [size_arr, tiles, queries.astype(jnp.float32), corpus]
+    if row_scale is None:
+        kernel = functools.partial(_extract_kernel, tile=tile,
+                                   rounds=rounds, precision=precision)
+    else:
+        assert row_scale.shape == (n,), (row_scale.shape, n)
+        in_specs.append(pl.BlockSpec(
+            (1, tile), lambda i, size_r, tiles_r: (0, tiles_r[i]),
+            memory_space=pltpu.VMEM))
+        operands.append(row_scale.astype(jnp.float32).reshape(1, n))
+        kernel = functools.partial(_extract_scaled_kernel, tile=tile,
+                                   rounds=rounds, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda i, size_r, tiles_r: (tiles_r[i], 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, rounds, b), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1171,8 +1266,7 @@ def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_extract_kernel, tile=tile, rounds=rounds,
-                          precision=precision),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((steps, rounds, b), jnp.float32),
@@ -1188,7 +1282,7 @@ def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
             bytes_accessed=steps * tile * d * corpus.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(size_arr, tiles, queries.astype(jnp.float32), corpus)
+    )(*operands)
 
 
 def _top2_rows(mates_bt, val_bt, tile, groups):
@@ -1363,7 +1457,7 @@ def certificate_uncovered(ids) -> int:
 
 def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
                   tile=1024, chunk=65536, approx_tile_k=None,
-                  defer_certificate=False):
+                  defer_certificate=False, row_scale=None):
     """Pick the right top-k implementation for the backend / problem size.
 
     EXACT by default at every scale: large corpora route to
@@ -1396,7 +1490,8 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
     if prefer_pallas:
         if approx_tile_k is not None:
             return pallas_topk(queries, corpus, k, size, tile=tile,
-                               tile_k=approx_tile_k, interpret=not on_tpu)
+                               tile_k=approx_tile_k, interpret=not on_tpu,
+                               row_scale=row_scale)
         if n // tile >= 64 * k:
             # Extraction-bound regime: packed single-pass extraction with
             # certified exactness; counter rides in the ids buffer.
@@ -1423,7 +1518,7 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
                     if pad else queries)
                 scores, packed = pallas_topk_certified_multi(
                     q_run, corpus, k, size, sub_batch=1024, tile=tile,
-                    interpret=not on_tpu)
+                    interpret=not on_tpu, row_scale=row_scale)
                 if pad:
                     scores = scores[:b]
                     packed = jnp.concatenate([packed[:b], packed[-1:]],
@@ -1431,20 +1526,21 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
             else:
                 scores, packed = pallas_topk_certified(
                     queries, corpus, k, size, tile=tile,
-                    interpret=not on_tpu)
+                    interpret=not on_tpu, row_scale=row_scale)
             if defer_certificate:
                 return scores, packed
             if certificate_uncovered(packed) == 0:
                 return scores, packed[:-1]
             # Rare cover overflow: rerun with the certain-exact kernel.
             return pallas_topk(queries, corpus, k, size, tile=tile,
-                               interpret=not on_tpu)
+                               interpret=not on_tpu, row_scale=row_scale)
         return pallas_topk(queries, corpus, k, size, tile=tile,
-                           interpret=not on_tpu)
+                           interpret=not on_tpu, row_scale=row_scale)
     if n > chunk:
         # chunked_topk scores any remainder tail with one extra merged
         # matmul, so non-multiple corpus sizes (e.g. tile-rounded shard
         # capacities) stream in O(B*(chunk+k)) instead of materializing
         # the full [B, N] score matrix in exact_topk.
-        return chunked_topk(queries, corpus, k, size, chunk=chunk)
-    return exact_topk(queries, corpus, k, size)
+        return chunked_topk(queries, corpus, k, size, chunk=chunk,
+                            row_scale=row_scale)
+    return exact_topk(queries, corpus, k, size, row_scale=row_scale)

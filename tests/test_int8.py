@@ -222,3 +222,41 @@ def test_agent_int8_corpus_setting():
     assert docs
     docs = a.retriever.retrieve("quick brown fox", top_k=2)
     assert docs
+
+
+# ------------------------------------------------------- certified (scaled)
+
+def test_certified_row_scale_interpret(rng):
+    from optimized_rag_tpu.ops.topk import (
+        certificate_uncovered, pallas_topk_certified,
+        pallas_topk_certified_multi)
+    q, q8, scale, deq = _quantized_problem(rng, n=4096, d=64, b=8)
+    # Oracle scoring the SAME function as the scaled kernel: bf16-rounded
+    # queries (int8 codes are exact in bf16), f32 accumulation, f32 scale.
+    qb = q.astype(jnp.bfloat16).astype(jnp.float32)
+    want_s, want_i = exact_topk(qb, q8, 10, row_scale=scale)
+    s, ids = pallas_topk_certified(q, q8, 10, tile=256,
+                                   row_scale=scale, interpret=True)
+    assert certificate_uncovered(ids) == 0
+    np.testing.assert_array_equal(np.asarray(ids)[:-1], np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               atol=2e-3)
+    # Multi sub-batch path.
+    q2 = jnp.concatenate([q, q])
+    s2, ids2 = pallas_topk_certified_multi(q2, q8, 10, sub_batch=8,
+                                           tile=256, row_scale=scale,
+                                           interpret=True)
+    assert certificate_uncovered(ids2) == 0
+    np.testing.assert_array_equal(np.asarray(ids2)[:8], np.asarray(want_i))
+
+
+def test_dispatch_row_scale_certified_route(rng):
+    from optimized_rag_tpu.ops.topk import dispatch_topk
+    # n//tile >= 64*k forces the certified route (tile=8, k=... keep k
+    # tiny): 4096/8 = 512 tiles >= 64*2.
+    q, q8, scale, deq = _quantized_problem(rng, n=4096, d=64, b=4)
+    qb = q.astype(jnp.bfloat16).astype(jnp.float32)
+    want_s, want_i = exact_topk(qb, q8, 2, row_scale=scale)
+    s, i = dispatch_topk(q, q8, 2, size=4096, prefer_pallas=True, tile=8,
+                         row_scale=scale)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))
