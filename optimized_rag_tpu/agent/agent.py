@@ -307,10 +307,22 @@ class RAGAgent:
                  <= self.dense.size
                  or type(self.retriever.ann).__name__ != expected)
         if stale:
-            ann = build_index_for(kind, self.dense.dim, s, mesh=mesh,
-                                  tile=self.dense.tile)
             # Dequantized f32 in int8 mode: normalize() inside the IVF
             # build would truncate raw int8 codes back to int8 zeros.
+            # That whole-corpus f32 materialization is 4x the int8
+            # resident bytes — near the int8 single-chip capacity
+            # ceiling it would OOM even though the exact scan fits, so
+            # int8 corpora keep the exact dense path once the dequant
+            # would dominate HBM (the ceiling applies to the exact
+            # path; ANN overlays cap out 4x earlier).
+            if self.dense.quantized:
+                f32_bytes = self.dense.size * self.dense.dim * 4
+                if f32_bytes > s.ivf.int8_ann_f32_budget:
+                    self.retriever.ann = None
+                    self.retriever.ann_size = 0
+                    return "dense"
+            ann = build_index_for(kind, self.dense.dim, s, mesh=mesh,
+                                  tile=self.dense.tile)
             emb = self.dense.vectors_f32()
             if hasattr(ann, "build"):          # IVF family: frozen build
                 ann.build(emb, balanced=s.ivf.balanced_build)

@@ -21,27 +21,53 @@ from optimized_rag_tpu.utils.logging_config import setup_logging
 
 
 def _local_lm_provider(settings: Settings):
-    """Build LocalLMProvider from a trained decoder checkpoint
-    (ORAG_LOCAL_LM_CKPT, <data_dir>/models, or the bundled checkpoints);
-    falls back to a random-init generator when none exists."""
-    from optimized_rag_tpu.models.decoder import (
-        DecoderConfig, Generator, LocalLMProvider)
+    """Build the on-device generation provider from a trained checkpoint
+    (ORAG_LOCAL_LM_CKPT, <data_dir>/models, or the bundled checkpoints).
+
+    Preference order: the GROUNDED pointer-generator (models/grounded.py
+    — trained for cited grounded answers, no extractive fallback on the
+    generate task), then the legacy plain decoder, then a random-init
+    generator (serving-path completeness only)."""
     from optimized_rag_tpu.models.pretrain import (
         find_checkpoint_dir, load_pretrained)
     ckpt_dir = os.environ.get("ORAG_LOCAL_LM_CKPT") \
         or find_checkpoint_dir(settings.data_dir)
+    grounded = load_pretrained(ckpt_dir, "grounded") if ckpt_dir else None
+    if grounded is not None:
+        from optimized_rag_tpu.models.grounded import (
+            GroundedGenerator, GroundedProvider)
+        cfg, params = grounded
+        print(f"local LM: loaded grounded checkpoint from {ckpt_dir}")
+        gen = GroundedGenerator(
+            cfg, params=params,
+            max_prompt_len=min(cfg.max_seq_len - 320, 2560),
+            max_new_tokens=min(320, cfg.max_seq_len
+                               - min(cfg.max_seq_len - 320, 2560)))
+        fb = DeterministicLLM_from(settings)
+        return GroundedProvider(gen, fallback=fb)
+    from optimized_rag_tpu.models.decoder import (
+        DecoderConfig, Generator, LocalLMProvider)
     loaded = load_pretrained(ckpt_dir, "decoder") if ckpt_dir else None
     if loaded is not None:
         cfg, params = loaded
         print(f"local LM: loaded decoder checkpoint from {ckpt_dir}")
     else:
         cfg, params = DecoderConfig(num_layers=4, max_seq_len=1024), None
-        print("local LM: no decoder checkpoint found; using random init "
+        print("local LM: no checkpoint found; using random init "
               "(train one with: python -m optimized_rag_tpu train)")
     gen = Generator(cfg, params=params,
                     max_prompt_len=min(cfg.max_seq_len - 128, 768),
                     max_new_tokens=128)
     return LocalLMProvider(gen)
+
+
+def DeterministicLLM_from(settings: Settings):
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    return DeterministicLLM(
+        min_weighted=settings.verification.extractive_min_weighted,
+        min_coverage=settings.verification.extractive_min_coverage,
+        min_evidence_mass=settings.verification
+        .extractive_min_evidence_mass)
 
 
 def build_agent(settings: Settings, offline: bool = True,
@@ -60,11 +86,7 @@ def build_agent(settings: Settings, offline: bool = True,
     if llm is None and local_lm:
         llm = _local_lm_provider(settings)
     if llm is None:
-        llm = DeterministicLLM(
-            min_weighted=settings.verification.extractive_min_weighted,
-            min_coverage=settings.verification.extractive_min_coverage,
-            min_evidence_mass=settings.verification
-            .extractive_min_evidence_mass)
+        llm = DeterministicLLM_from(settings)
     store = MetadataStore(os.path.join(settings.data_dir, "metadata.db"))
     agent = RAGAgent(settings, llm=llm, store=store)
     agent.load_indexes()  # restore device-side indexes if snapshotted

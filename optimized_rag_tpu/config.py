@@ -134,6 +134,11 @@ class IVFConfig:
     shard_min_size: int = 250_000
     rebuild_growth: float = 2.0     # rebuild ANN when corpus grows this much
     balanced_build: bool = True     # balanced clusters: ~3.5x smaller window
+    # int8 corpora: ANN (re)builds need a whole-corpus f32 dequant (4x
+    # the int8 resident bytes); past this budget the agent keeps the
+    # exact dense path instead of risking an OOM at the capacity
+    # ceiling (agent.maybe_upgrade_index).
+    int8_ann_f32_budget: int = 4 << 30
 
 
 # ---------------------------------------------------------------------------

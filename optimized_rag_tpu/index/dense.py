@@ -218,6 +218,7 @@ class DenseIndex:
             c_s, cand = dispatch_topk(q, self._emb, cc, size=self.size,
                                       prefer_pallas=prefer_pallas,
                                       tile=self.tile,
+                                      approx_tile_k=approx_tile_k,
                                       defer_certificate=True,
                                       row_scale=self._scale)
             _, cand = self._settle_certificate(q, c_s, np.asarray(cand),

@@ -135,6 +135,11 @@ class DecoderLM(nn.Module):
         for one-step decode. ``key_valid`` masks pad key positions (for
         left-padded batches); ``pos_ids`` [B, L] overrides the positional
         ids (per-row logical positions under left-padding).
+
+        ``self.sow("intermediates", "hidden", x)`` exports the final
+        pre-head hidden states for heads built on top of the backbone
+        (models/grounded.py's pointer-generator reads them via
+        ``mutable=["intermediates"]``).
         """
         c = self.cfg
         tok = nn.Embed(c.vocab_size, c.hidden_dim, dtype=c.dtype,
@@ -155,6 +160,7 @@ class DecoderLM(nn.Module):
                                                           key_valid)
             new_caches.append(cache)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+        self.sow("intermediates", "hidden", x)
         logits = nn.Dense(c.vocab_size, dtype=jnp.float32,
                           name="head")(x)
         return logits, new_caches

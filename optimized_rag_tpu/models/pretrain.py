@@ -228,6 +228,65 @@ def train_decoder(texts: Sequence[str], cfg, mesh, steps: int = 200,
     return trainer.params, loss
 
 
+def train_grounded(texts: Sequence[str], cfg, mesh, steps: int = 2000,
+                   batch: int = 8, learning_rate: float = 3e-4,
+                   seed: int = 0, prompt_len: int = 2560,
+                   target_len: int = 320,
+                   log: Optional[Callable[[str], None]] = None,
+                   snapshot_dir: Optional[str] = None,
+                   snapshot_every: int = 1000):
+    """Pointer-generator training on synthesized grounded-QA rows
+    (models/grounded_data.GroundedSampler). Snapshot/resume protocol as
+    in ``train_biencoder`` (outage-tolerant; optimizer moments rewarm).
+    Returns (params, last_nll)."""
+    from optimized_rag_tpu.models.grounded import GroundedTrainer
+    from optimized_rag_tpu.models.grounded_data import GroundedSampler
+    from optimized_rag_tpu.models.training import shard_params
+    rng = np.random.default_rng(seed)
+    sampler = GroundedSampler(texts, prompt_len=prompt_len,
+                              target_len=target_len)
+    start_step = 0
+    resume_params = None
+    marker = (os.path.join(snapshot_dir, "grounded.step.txt")
+              if snapshot_dir else None)
+    if marker and os.path.exists(marker):
+        ck = load_pretrained(snapshot_dir, "grounded")
+        if ck is not None:
+            _, resume_params = ck
+            start_step = int(open(marker).read().strip()) + 1
+            for _ in range(start_step):
+                sampler.batch(rng, batch)
+            if log:
+                log(f"resuming grounded from step {start_step - 1}")
+    lr = learning_rate
+    if start_step and callable(learning_rate):
+        lr = (lambda count, _sched=learning_rate:
+              _sched(count + start_step))
+    trainer = GroundedTrainer(cfg, mesh, prompt_len=prompt_len,
+                              target_len=target_len, learning_rate=lr,
+                              seed=seed)
+    if resume_params is not None:
+        trainer.params = shard_params(resume_params, mesh)
+    nll = float("nan")
+    t0 = time.time()
+    for step in range(start_step, steps):
+        ids, pad_len, copy_tgt = sampler.batch(rng, batch)
+        nll, closs = trainer.train_step(ids, pad_len, copy_tgt)
+        if log and (step % 25 == 0 or step == steps - 1):
+            log(f"grounded step {step}: nll={nll:.4f} copy={closs:.4f} "
+                f"({time.time() - t0:.0f}s)")
+        if (snapshot_dir and step and step % snapshot_every == 0
+                and step != steps - 1):
+            save_pretrained(snapshot_dir, "grounded", trainer.params, cfg)
+            with open(marker, "w") as fh:
+                fh.write(str(step))
+            if log:
+                log(f"grounded snapshot at step {step}")
+    if marker and os.path.exists(marker):
+        os.remove(marker)
+    return trainer.params, nll
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint round-trip (params + architecture config side file)
 # ---------------------------------------------------------------------------
@@ -279,6 +338,17 @@ def load_pretrained(path: str, name: str):
             max_seq_len=int(blob["max_seq_len"]),
             num_types=int(blob.get("num_types", 2)),
             out_dim=int(blob["out_dim"]),
+            dtype=dtype)
+    elif "copy_dim" in blob:  # grounded pointer-generator family
+        from optimized_rag_tpu.models.grounded import GroundedConfig
+        cfg = GroundedConfig(
+            vocab_size=int(blob["vocab_size"]),
+            hidden_dim=int(blob["hidden_dim"]),
+            num_layers=int(blob["num_layers"]),
+            num_heads=int(blob["num_heads"]),
+            mlp_dim=int(blob["mlp_dim"]),
+            max_seq_len=int(blob["max_seq_len"]),
+            copy_dim=int(blob["copy_dim"]),
             dtype=dtype)
     else:  # decoder family
         from optimized_rag_tpu.models.decoder import DecoderConfig

@@ -20,8 +20,8 @@ from optimized_rag_tpu.ops.similarity import (
     normalize, cosine_matrix, pairwise_cosine, batched_cosine,
 )
 from optimized_rag_tpu.ops.topk import (
-    exact_topk, chunked_topk, pallas_topk, pallas_topk_verified,
-    rescore_topk)
+    exact_topk, chunked_topk, pallas_topk, pallas_topk_ann,
+    pallas_topk_verified, rescore_topk)
 from optimized_rag_tpu.ops.quantize import quantize_int8, dequantize_int8
 from optimized_rag_tpu.ops.fusion import (
     rrf_fuse, weighted_fusion, temporal_decay, minmax_normalize,

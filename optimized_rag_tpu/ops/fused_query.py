@@ -75,8 +75,15 @@ def encode_and_retrieve(params, q_ids, q_mask,
 
     # ---- both retrieval channels (same compute as ops/hybrid.dual_topk)
     # row_scale dequantizes an int8 corpus's scores (ops/quantize.py).
-    dense_s, dense_i = exact_topk(q, corpus, candidate_k, size=size,
-                                  row_scale=row_scale)
+    if row_scale is not None:
+        # Chunked scan keeps the int8 corpus int8-resident (exact_topk's
+        # whole-corpus f32 upcast is a 4x HBM transient — see
+        # ops/hybrid.dual_topk).
+        from optimized_rag_tpu.ops.topk import chunked_topk
+        dense_s, dense_i = chunked_topk(q, corpus, candidate_k, size=size,
+                                        row_scale=row_scale)
+    else:
+        dense_s, dense_i = exact_topk(q, corpus, candidate_k, size=size)
     bm = bm25_score_champions(q_terms, q_valid, champ_docs, champ_tf,
                               champ_valid, idf, doc_len, avg_len,
                               k1=k1, b=b)

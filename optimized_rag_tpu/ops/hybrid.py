@@ -45,8 +45,16 @@ def dual_topk(q_emb, corpus, size, q_terms, q_valid, champ_docs, champ_tf,
     assert corpus.shape[0] < (1 << 24), (
         f"dual_topk id packing is exact only below 2^24 rows; "
         f"got {corpus.shape[0]}")
-    dense_s, dense_i = exact_topk(q_emb, corpus, k, size=size,
-                                  row_scale=row_scale)
+    if row_scale is not None:
+        # Keep the int8 corpus int8-resident: exact_topk would upcast the
+        # WHOLE corpus to f32 inside its dot (4x the resident bytes — at
+        # the int8 capacity ceiling that transient alone OOMs). The
+        # chunked scan casts one 64k-row chunk at a time instead.
+        from optimized_rag_tpu.ops.topk import chunked_topk
+        dense_s, dense_i = chunked_topk(q_emb, corpus, k, size=size,
+                                        row_scale=row_scale)
+    else:
+        dense_s, dense_i = exact_topk(q_emb, corpus, k, size=size)
     scores = bm25_score_champions(q_terms, q_valid, champ_docs, champ_tf,
                                   champ_valid, idf, doc_len, avg_len,
                                   k1=k1, b=b)

@@ -509,7 +509,8 @@ def pallas_topk_verified_batch(queries: jax.Array, corpus: jax.Array,
 # between the MXU extraction pass and the XLA rescore cannot fake coverage.
 
 def _packed_extract_kernel(size_ref, q_ref, c_ref, val_out, *,
-                           tile: int, groups: int, precision):
+                           tile: int, groups: int, precision,
+                           n_winners: int = 2):
     """Per-tile top-2-unit winners, packed. Output [1, 2, B] float32:
     the f32 BITCAST of an int32 whose high bits are the quantized
     (score + 2.0) and whose low log2(tile) bits are the winner's column.
@@ -522,12 +523,13 @@ def _packed_extract_kernel(size_ref, q_ref, c_ref, val_out, *,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision)                                  # [B, tile]
-    _pack_tile_scores(scores, t * tile, size_ref[0], val_out, tile, groups)
+    _pack_tile_scores(scores, t * tile, size_ref[0], val_out, tile, groups,
+                      n_winners)
 
 
 def _packed_extract_scaled_kernel(size_ref, q_ref, c_ref, scale_ref,
                                   val_out, *, tile: int, groups: int,
-                                  precision):
+                                  precision, n_winners: int = 2):
     """``_packed_extract_kernel`` for per-row-scaled integer corpora:
     both dot operands run bfloat16 (int8 codes are exact in bf16; the
     f32->bf16 query cast is the only extra rounding, and it is shared
@@ -539,12 +541,42 @@ def _packed_extract_scaled_kernel(size_ref, q_ref, c_ref, scale_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision) * scale_ref[:]                   # [B, tile]
-    _pack_tile_scores(scores, t * tile, size_ref[0], val_out, tile, groups)
+    _pack_tile_scores(scores, t * tile, size_ref[0], val_out, tile, groups,
+                      n_winners)
 
 
-def _pack_tile_scores(scores, base, size_val, val_out, tile, groups):
+def _packed_extract_int8_kernel(size_ref, q_ref, c_ref, scale_ref, qs_ref,
+                                val_out, *, tile: int, groups: int,
+                                n_winners: int = 2):
+    """``_packed_extract_scaled_kernel`` with an INT8-NATIVE MXU dot.
+
+    q_ref [B, D] int8 (per-row quantized queries), c_ref [tile, D] int8:
+    ``dot_general(..., preferred_element_type=int32)`` runs the MXU at
+    its 2x int8 rate and accumulates EXACTLY in int32 — the round-4
+    int8 path's in-kernel int8->bf16 operand conversion (which ate the
+    bandwidth win, RESULTS_r4 §11a) disappears. Scores are dequantized
+    by one fused broadcast per operand side:
+
+        score = (i32 * corpus_scale_row) * query_scale_row
+
+    The same float multiply ORDER is reproduced by every cover rescore
+    (certification demands bit-identical scoring); int32 accumulation
+    itself has no reduction-order ulps at all.
+    """
+    t = pl.program_id(0)
+    scores_i = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                     # [B, tile]
+    scores = (scores_i.astype(jnp.float32) * scale_ref[:]) * qs_ref[:]
+    _pack_tile_scores(scores, t * tile, size_ref[0], val_out, tile, groups,
+                      n_winners)
+
+
+def _pack_tile_scores(scores, base, size_val, val_out, tile, groups,
+                      n_winners: int = 2):
     """Shared packing body: quantize+pack scores, tree-max to per-unit
-    winners, emit the top-2 packed unit winners.
+    winners, emit the top-``n_winners`` packed unit winners.
 
     Single unconditional path. A pl.when full-tile/tail split (round-4
     experiment) duplicated the extraction body's temporaries across the
@@ -553,6 +585,11 @@ def _pack_tile_scores(scores, base, size_val, val_out, tile, groups):
     relay's AOT helper (16.00M scoped limit). The mask+clamp are cheap
     elementwise ops that fuse into the packing pass; the measured floor
     gap lives in the dispatch overhead and the covers, not here.
+
+    Each extra winner past the first costs one max+mask over the
+    G-times-smaller [B, tile/G] unit array — the ANN path exports
+    n_winners=k so a CONTIGUOUS same-document run (rows land in
+    consecutive, distinct units for runs up to tile/G) surfaces whole.
     """
     b = scores.shape[0]
     small = tile // groups
@@ -571,184 +608,20 @@ def _pack_tile_scores(scores, base, size_val, val_out, tile, groups):
             nxt.append(parts[-1])
         parts = nxt
     gw = parts[0]                                             # [B, small]
-    w1 = jnp.max(gw, axis=1)                                  # [B]
     # Packed values are unique in their low (column) bits, so exactly one
-    # entry equals w1 — masking it exposes the 2nd-best unit winner.
-    gw2 = jnp.where(gw == w1[:, None], 0.0, gw)
-    w2 = jnp.max(gw2, axis=1)
-    val_out[0, 0, :] = w1
-    val_out[0, 1, :] = w2
-
-
-def _packed_extract_kernel_pipe(size_ref, q_ref, c_ref, val_out, sc_ref, *,
-                                tile: int, groups: int, num_tiles: int,
-                                precision):
-    """Software-pipelined ``_packed_extract_kernel``: grid has ONE extra
-    step, and step t packs tile t-1's scores (held in VMEM scratch)
-    while the MXU computes tile t's matmul. The round-4 device trace
-    (benchmarks/diag_r4h.py, docs/results_r4/trace_r4h.json) showed the
-    single-stage kernel serializes ~9 ms of VPU packing behind the
-    ~14 ms MXU-bound scan per 1024 queries; breaking the in-step
-    matmul->pack dependency lets Mosaic overlap the units. Outputs and
-    quantization are bit-identical to the single-stage kernel."""
-    t = pl.program_id(0)
-    b = q_ref.shape[0]
-    small = tile // groups
-
-    # Stage 2 (VPU): pack + reduce tile t-1's scores from scratch.
-    @pl.when(t > 0)
-    def _pack():
-        scores = sc_ref[:]                                    # [B, tile]
-        base = (t - 1) * tile
-        col = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-        sh = jnp.maximum(scores + 2.0, 0.0)
-        sh = jnp.where(col + base < size_ref[0], sh, 0.0)
-        p = jax.lax.bitcast_convert_type(sh, jnp.int32)
-        packed = jax.lax.bitcast_convert_type(
-            (p & ~jnp.int32(tile - 1)) | col, jnp.float32)
-        parts = [packed[:, g * small:(g + 1) * small]
-                 for g in range(groups)]
-        while len(parts) > 1:
-            nxt = [jnp.maximum(parts[i], parts[i + 1])
-                   for i in range(0, len(parts) - 1, 2)]
-            if len(parts) % 2:
-                nxt.append(parts[-1])
-            parts = nxt
-        gw = parts[0]                                         # [B, small]
-        w1 = jnp.max(gw, axis=1)
-        gw2 = jnp.where(gw == w1[:, None], 0.0, gw)
-        val_out[0, 0, :] = w1
-        val_out[0, 1, :] = jnp.max(gw2, axis=1)
-
-    # Stage 1 (MXU): tile t's scores into scratch. Program order makes
-    # this a write-after-read on sc_ref — the only cross-stage hazard.
-    @pl.when(t < num_tiles)
-    def _score():
-        sc_ref[:] = jax.lax.dot_general(
-            q_ref[:].astype(c_ref.dtype), c_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)
-
-
-def _packed_extract_kernel_pipe2(size_ref, q_ref, c_ref, val_out, sc_ref,
-                                 *, tile: int, groups: int, precision):
-    """Branch-free double-scratch variant of the lookback pipeline.
-
-    The single-scratch variant's pack(t-1) -> dot(t) write-after-read
-    hazard (plus its two pl.when regions) measured ~4% SLOWER than the
-    single-stage kernel — Mosaic would not dual-issue across them. Here
-    scratch is a [2, B, tile] ping-pong: step t packs from slot
-    (t+1) % 2 and the MXU writes slot t % 2, so the VPU chain and the
-    MXU chain share no hazard and the body is one straight-line block.
-    Edge steps pack garbage (uninitialized scratch at t=0) into out
-    block 0, which step 1 overwrites before the block is flushed —
-    Mosaic writes an output block back only when its index changes.
-    """
-    t = pl.program_id(0)
-    b = q_ref.shape[0]
-    small = tile // groups
-
-    # VPU chain: pack tile t-1's scores from the slot the MXU is NOT
-    # writing this step.
-    scores = sc_ref[pl.ds((t + 1) % 2, 1), :, :][0]           # [B, tile]
-    base = (t - 1) * tile
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
-    sh = jnp.maximum(scores + 2.0, 0.0)
-    sh = jnp.where(col + base < size_ref[0], sh, 0.0)
-    p = jax.lax.bitcast_convert_type(sh, jnp.int32)
-    packed = jax.lax.bitcast_convert_type(
-        (p & ~jnp.int32(tile - 1)) | col, jnp.float32)
-    parts = [packed[:, g * small:(g + 1) * small] for g in range(groups)]
-    while len(parts) > 1:
-        nxt = [jnp.maximum(parts[i], parts[i + 1])
-               for i in range(0, len(parts) - 1, 2)]
-        if len(parts) % 2:
-            nxt.append(parts[-1])
-        parts = nxt
-    gw = parts[0]                                             # [B, small]
-    w1 = jnp.max(gw, axis=1)
-    gw2 = jnp.where(gw == w1[:, None], 0.0, gw)
-    val_out[0, 0, :] = w1
-    val_out[0, 1, :] = jnp.max(gw2, axis=1)
-
-    # MXU chain: tile t's scores into this step's slot.
-    s = jax.lax.dot_general(
-        q_ref[:].astype(c_ref.dtype), c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    sc_ref[pl.ds(t % 2, 1), :, :] = s[None]
-
-
-def _packed_pass_pipe(queries, corpus, size, tile, groups, interpret,
-                      precision, variant: int = 1):
-    """Pipelined twin of ``_packed_pass`` — same [num_tiles, 2, B] output.
-
-    Grid quirks: num_tiles+1 steps; the corpus block index clamps to the
-    last tile on the trailing step (a harmless re-read — its scores are
-    never written), and the output block index clamps to 0 on step 0,
-    where nothing meaningful is written: Mosaic flushes an output block
-    only when its index CHANGES, so block 0 lands after step 1 has
-    packed tile 0.
-
-    variant 1 = single scratch + pl.when stages (WAR hazard);
-    variant 2 = [2, B, tile] ping-pong scratch, straight-line body
-    (no hazard between the VPU pack chain and the MXU score chain).
-    """
-    n, d = corpus.shape
-    b = queries.shape[0]
-    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
-    assert tile % groups == 0
-    num_tiles = n // tile
-    size_arr = jnp.asarray([n if size is None else size], jnp.int32)
-    last = num_tiles - 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_tiles + 1,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d),
-                         lambda i, *_: (jnp.minimum(i, last), 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 2, b),
-                         lambda i, *_: (jnp.maximum(i - 1, 0), 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b, tile), jnp.float32) if variant == 1
-            else pltpu.VMEM((2, b, tile), jnp.float32)],
-    )
-    if variant == 1:
-        kern = functools.partial(_packed_extract_kernel_pipe, tile=tile,
-                                 groups=groups, num_tiles=num_tiles,
-                                 precision=precision)
-    else:
-        kern = functools.partial(_packed_extract_kernel_pipe2, tile=tile,
-                                 groups=groups, precision=precision)
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 2, b), jnp.float32),
-        ],
-        # [B, tile] f32 scratch (16/32 MB at B=1024/tile=4096) on top of
-        # the streaming buffers exceeds the 16 MB default scoped-VMEM
-        # cap; v5e has 128 MB (the relay AOT helper accepts raised
-        # limits — proven by _extract_pass).
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
-            transcendentals=0),
-        interpret=interpret,
-    )(size_arr, queries.astype(jnp.float32), corpus)
+    # entry equals the running max — masking it exposes the next winner.
+    for r in range(n_winners):
+        w = jnp.max(gw, axis=1)                               # [B]
+        val_out[0, r, :] = w
+        if r + 1 < n_winners:
+            gw = jnp.where(gw == w[:, None], 0.0, gw)
 
 
 def _packed_pass(queries, corpus, size, tile, groups, interpret, precision,
-                 row_scale=None):
+                 row_scale=None, q_scale=None, n_winners: int = 2):
+    """``q_scale`` [B] (with an int8 ``queries`` operand) selects the
+    int8-native MXU kernel; ``row_scale`` alone keeps the bf16-operand
+    scaled kernel (f32/bf16 queries against an int8 corpus)."""
     n, d = corpus.shape
     b = queries.shape[0]
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
@@ -761,18 +634,37 @@ def _packed_pass(queries, corpus, size, tile, groups, interpret, precision,
         pl.BlockSpec((tile, d), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [size_arr, queries.astype(jnp.float32), corpus]
     extra = {}
     if row_scale is None:
+        operands = [size_arr, queries.astype(jnp.float32), corpus]
         kernel = functools.partial(_packed_extract_kernel, tile=tile,
-                                   groups=groups, precision=precision)
+                                   groups=groups, precision=precision,
+                                   n_winners=n_winners)
+    elif q_scale is not None:
+        assert queries.dtype == jnp.int8 and corpus.dtype == jnp.int8
+        assert row_scale.shape == (n,), (row_scale.shape, n)
+        in_specs += [
+            pl.BlockSpec((1, tile), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [size_arr, queries, corpus,
+                    row_scale.astype(jnp.float32).reshape(1, n),
+                    q_scale.astype(jnp.float32).reshape(b, 1)]
+        kernel = functools.partial(_packed_extract_int8_kernel, tile=tile,
+                                   groups=groups, n_winners=n_winners)
+        extra = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)}
     else:
         assert row_scale.shape == (n,), (row_scale.shape, n)
         in_specs.append(pl.BlockSpec((1, tile), lambda i, *_: (0, i),
                                      memory_space=pltpu.VMEM))
-        operands.append(row_scale.astype(jnp.float32).reshape(1, n))
+        operands = [size_arr, queries.astype(jnp.float32), corpus,
+                    row_scale.astype(jnp.float32).reshape(1, n)]
         kernel = functools.partial(_packed_extract_scaled_kernel, tile=tile,
-                                   groups=groups, precision=precision)
+                                   groups=groups, precision=precision,
+                                   n_winners=n_winners)
         # The bf16 operand copies + scale row push the b1024/tile=4096
         # shape past the 16 MB default scoped-VMEM cap; keep the default
         # (validated) compile config for the unscaled path untouched.
@@ -783,7 +675,7 @@ def _packed_pass(queries, corpus, size, tile, groups, interpret, precision,
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 2, b), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, n_winners, b), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -791,7 +683,7 @@ def _packed_pass(queries, corpus, size, tile, groups, interpret, precision,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 2, b), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, n_winners, b), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d, bytes_accessed=n * d * corpus.dtype.itemsize,
@@ -838,6 +730,31 @@ def _exact_rowwise_scores(queries, gathered, dtype, precision,
     return out.reshape(b, n)
 
 
+def _exact_rowwise_scores_int8(q8, gathered8, mem_cap: int = 1 << 22):
+    """``_exact_rowwise_scores`` on the native s8xs8->s32 path: returns
+    the RAW int32 dot as float32 (callers apply the scale folds in the
+    kernel's exact multiply order). int32 accumulation of int8 products
+    has no reduction-order ulps, so this matches the in-kernel dot
+    bit-for-bit."""
+    b, n, d = gathered8.shape
+    c = max(1, min(b, mem_cap // max(n, 1)))
+    while b % c:
+        c -= 1
+
+    def one(args):
+        qc, gc = args                                    # [c,D], [c,n,D]
+        full = jnp.dot(qc, gc.reshape(c * n, d).T,
+                       preferred_element_type=jnp.int32)  # [c, c*n]
+        idx = jnp.arange(c)
+        return full.reshape(c, c, n)[idx, idx]           # [c, n]
+
+    if c == b:
+        return one((q8, gathered8)).astype(jnp.float32)
+    out = jax.lax.map(one, (q8.reshape(b // c, c, d),
+                            gathered8.reshape(b // c, c, n, d)))
+    return out.reshape(b, n).astype(jnp.float32)
+
+
 def _unpack_lb(vals, tile):
     """Quantized lower bound on the original score from a packed int32
     (low log2(tile) bits carry the column, not score bits)."""
@@ -856,14 +773,14 @@ def _unpack_ub(vals, tile):
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile", "groups", "interpret",
                                     "precision", "union_tiles", "pad_r",
-                                    "pipeline"))
+                                    "int8_native"))
 def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
                           size: jax.Array | int | None = None,
                           tile: int = 4096, groups: int = 8,
                           union_tiles: int = 32, pad_r: int | None = None,
                           interpret: bool = False, precision=None,
-                          pipeline: bool = False,
-                          row_scale: jax.Array | None = None):
+                          row_scale: jax.Array | None = None,
+                          int8_native: bool = True):
     """EXACT top-k via single-pass packed extraction + certified covers.
 
     queries [B,D] pre-normalized (scores must lie in (-2, 2)); corpus [N,D]
@@ -874,10 +791,15 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     this). Final scores always come from exact rescoring, never from the
     quantized extraction values.
 
-    ``row_scale`` [N] (integer corpora, ops/quantize.py): the scan and
-    every cover score the same scaled-bf16 function, so the certificate
-    means exact w.r.t. THAT scoring — pair with a float32
-    ``rescore_topk`` when final scores must be dequantized-f32-exact.
+    ``row_scale`` [N] (integer corpora, ops/quantize.py): with
+    ``int8_native`` (the default for an int8 corpus), queries are
+    per-row int8-quantized on device and the scan runs the MXU's native
+    s8xs8->s32 path at its 2x int8 rate — the scan and every cover then
+    score the same (i32 * corpus_scale) * query_scale function, whose
+    int32 accumulation is ulp-exact. ``int8_native=False`` keeps the
+    bf16-operand scaled scoring. Either way the certificate means exact
+    w.r.t. THAT scoring — pair with a float32 ``rescore_topk`` when
+    final scores must be dequantized-f32-exact.
     """
     n, d = corpus.shape
     b = queries.shape[0]
@@ -886,16 +808,15 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     assert 2 * num_tiles > k, (num_tiles, k)
     precision = _resolve_precision(corpus, precision)
     size_ = jnp.asarray(n if size is None else size, jnp.int32)
-    if pipeline:
-        # pipeline may be True/1 (single-scratch) or 2 (ping-pong).
-        assert row_scale is None, "pipelined variants are unscaled-only"
-        (w_packed,) = _packed_pass_pipe(queries, corpus, size, tile,
-                                        groups, interpret, precision,
-                                        variant=int(pipeline))
-    else:
-        (w_packed,) = _packed_pass(queries, corpus, size, tile, groups,
-                                   interpret, precision,
-                                   row_scale=row_scale)       # [T, 2, B]
+    q_scale = None
+    q_scan = queries
+    if row_scale is not None and corpus.dtype == jnp.int8 and int8_native:
+        from optimized_rag_tpu.ops.quantize import quantize_int8
+        q_scan, q_scale = quantize_int8(queries.astype(jnp.float32))
+    (w_packed,) = _packed_pass(q_scan, corpus, size, tile, groups,
+                               interpret, precision,
+                               row_scale=row_scale,
+                               q_scale=q_scale)               # [T, 2, B]
     w_val = jax.lax.bitcast_convert_type(w_packed, jnp.int32)
 
     # Candidate set: 2 unit-winners per tile. Candidate (b, 2t+s) came
@@ -929,6 +850,12 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     if row_scale is None:
         sc = _exact_rowwise_scores(queries, gathered, corpus.dtype,
                                    precision)
+    elif q_scale is not None:
+        # int8-native: int32-accumulated dots (ulp-exact), then the
+        # kernel's exact float multiply order.
+        sc = (_exact_rowwise_scores_int8(q_scan, gathered)
+              * row_scale[flat].astype(jnp.float32)
+              * q_scale[:, None].astype(jnp.float32))
     else:
         sc = (_exact_rowwise_scores(queries,
                                     gathered.astype(jnp.bfloat16),
@@ -960,8 +887,9 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     selected = jnp.zeros((num_tiles,), bool).at[sel_tiles].set(sel_valid)
     uncovered = (jnp.sum(sus & ~selected[None, :]).astype(jnp.int32)
                  + jnp.sum(c3_viol).astype(jnp.int32))
-    uval, ucol = _extract_pass(queries, corpus, size, tile, k, sel_tiles,
-                               interpret, precision, row_scale=row_scale)
+    uval, ucol = _extract_pass(q_scan, corpus, size, tile, k, sel_tiles,
+                               interpret, precision, row_scale=row_scale,
+                               q_scale=q_scale)
     uc = jnp.where(sel_valid[None, :, None],
                    jnp.transpose(uval, (2, 0, 1)), NEG_INF)   # [B, U, k]
     urow_b = jnp.transpose(sel_tiles[:, None, None] * tile + ucol,
@@ -983,15 +911,15 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
 @functools.partial(jax.jit,
                    static_argnames=("k", "sub_batch", "tile", "groups",
                                     "interpret", "precision",
-                                    "union_tiles", "pad_r", "pipeline"))
+                                    "union_tiles", "pad_r", "int8_native"))
 def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
                                 k: int, size: jax.Array | int | None = None,
                                 sub_batch: int = 1024, tile: int = 4096,
                                 groups: int = 8, union_tiles: int = 32,
                                 pad_r: int | None = None,
                                 interpret: bool = False, precision=None,
-                                pipeline: bool = False,
-                                row_scale: jax.Array | None = None):
+                                row_scale: jax.Array | None = None,
+                                int8_native: bool = True):
     """``pallas_topk_certified`` over M sub-batches in ONE dispatch.
 
     Through the tunneled runtime every dispatch pays a ~31 ms host
@@ -1013,7 +941,8 @@ def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
         return pallas_topk_certified(
             q, corpus, k, size, tile=tile, groups=groups,
             union_tiles=union_tiles, pad_r=pad_r, interpret=interpret,
-            precision=precision, pipeline=pipeline, row_scale=row_scale)
+            precision=precision, row_scale=row_scale,
+            int8_native=int8_native)
 
     s, i = jax.lax.map(one, queries.reshape(m, sub_batch, d))
     scores = s.reshape(mb, k)
@@ -1023,158 +952,15 @@ def pallas_topk_certified_multi(queries: jax.Array, corpus: jax.Array,
     return scores, jnp.concatenate([ids, count_row], axis=0)
 
 
-# ---------------------------------------------------------------------------
-# Round-4 certified2: exact unit-mate export — no rescue gather, no rescan
-# matmul. Round-4 on-chip attribution (docs/RESULTS_r4.md §8) put the
-# certified tax at ~19 ms/1024q: ~6 ms c1 rescue (XLA row-gather at
-# ~38 ns/row + exact rescore) and ~12 ms c2 union rescan (row-gather +
-# [B, U*tile] wide sort). Both costs exist because the packed kernel
-# exports only QUANTIZED winners, forcing exact scores to be recomputed
-# outside. This variant exports the exact f32 scores (straight from the
-# in-VMEM accumulator) of every row of the top-`n_units` units per tile,
-# so no row is ever re-scored:
-#
-#   * main pass (grid = all tiles, n_units=2): per tile, the packed
-#     top-2 unit winners [T,2,B] AND the 2*G exact mate scores
-#     [T,2G,B]. Outside, a 3-level exact max/argmax reduce yields each
-#     tile's top-2 candidate rows and a 3rd-best residue bound; one
-#     narrow sort over [B, 2T] gives the provisional top-k and tau.
-#   * union pass (grid = the U hottest suspicious tiles via
-#     scalar-prefetch index_map — tiles are read in place, no gather,
-#     no copy): a fori_loop max/argmax/mask kernel exporting each
-#     selected tile's EXACT top-k rows (_extract_kernel). A tile can
-#     contribute at most k rows to a global top-k, so this covers every
-#     possible contribution; a [B, U*k] sort replaces the rescan sort.
-#     (An earlier 16-unit unrolled mates export here OOM-killed the
-#     Mosaic AOT compile helper — fori_loop keeps the program small.)
-#
-# Certified covers (counted into the ids-row counter, 0 = exact):
-#   * rows in non-exported units of unselected tiles:  ub(packed w2) on
-#     the quantized winner, as in pallas_topk_certified;
-#   * mate ranks 3..2G of unselected tiles: bounded by the EXACT
-#     3rd-best mate (folded into union selection priority);
-#   * suspicious tiles beyond the union budget: counted, as before.
-#   Selected tiles need no residual term — their export is exact top-k.
-# ---------------------------------------------------------------------------
-
-def _mates_kernel(size_ref, tiles_ref, q_ref, c_ref, val_out, mate_out, *,
-                  tile: int, groups: int, n_units: int, precision):
-    """Per-tile top-``n_units`` unit winners (packed) + their exact mates.
-
-    Grid step ``t`` processes corpus tile ``tiles_ref[t]`` (scalar
-    prefetch drives the BlockSpec index_map, so the union pass reads its
-    data-dependent tiles in place). Outputs:
-      val_out  [1, n_units, B] f32 — packed winners, strongest first
-                (bitcast int32: high bits quantized score+2.0, low
-                log2(tile) bits the winner's tile-local column);
-      mate_out [1, n_units*groups, B] f32 — EXACT f32 scores of row
-                ``j + g*small`` of unit r at index r*groups + g, masked
-                to NEG_INF beyond ``size``. These come from the same
-                f32 accumulator as the packing, so "exact" means exactly
-                the corpus-dtype scoring the certificate is defined on.
-
-    The packing runs slice-sequentially (one [B, small] slice per group)
-    so peak VMEM is the [B, tile] f32 score block plus O(B*small)
-    transients — the full [B, tile] packed copy of the r3 kernel is
-    never materialized, which is what lets tile=2048 carry B=1024 with
-    the mates export under the compile-time scoped-VMEM cap.
-    """
-    t = pl.program_id(0)
-    b = q_ref.shape[0]
-    small = tile // groups
-    scores = jax.lax.dot_general(
-        q_ref[:].astype(c_ref.dtype), c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision)                                  # [B, tile]
-    base = tiles_ref[t] * tile
-    iota_small = jax.lax.broadcasted_iota(jnp.int32, (b, small), 1)
-
-    acc = None
-    for g in range(groups):
-        sl = scores[:, g * small:(g + 1) * small]
-        colg = iota_small + g * small
-        liveg = colg + base < size_ref[0]
-        shg = jnp.where(liveg, jnp.maximum(sl + 2.0, 0.0), 0.0)
-        pg = jax.lax.bitcast_convert_type(
-            (jax.lax.bitcast_convert_type(shg, jnp.int32)
-             & ~jnp.int32(tile - 1)) | colg, jnp.float32)
-        acc = pg if acc is None else jnp.maximum(acc, pg)     # [B, small]
-
-    winners = []
-    gw = acc
-    for r in range(n_units):
-        w = jnp.max(gw, axis=1)                               # [B]
-        val_out[0, r, :] = w
-        winners.append(w)
-        if r + 1 < n_units:
-            # Packed values are unique in their column bits, so exactly
-            # one entry matches; masking exposes the next unit winner.
-            gw = jnp.where(gw == w[:, None], 0.0, gw)
-
-    for r in range(n_units):
-        wi = jax.lax.bitcast_convert_type(winners[r], jnp.int32)
-        ju = (wi & jnp.int32(tile - 1)) % small               # [B]
-        sel = iota_small == ju[:, None]
-        for g in range(groups):
-            sl = scores[:, g * small:(g + 1) * small]
-            colg = iota_small + g * small
-            liveg = colg + base < size_ref[0]
-            mate_out[0, r * groups + g, :] = jnp.max(
-                jnp.where(sel & liveg, sl, NEG_INF), axis=1)
-
-
-def _mates_pass(queries, corpus, size, tile, groups, n_units, tiles,
-                interpret, precision):
-    """Run ``_mates_kernel`` over ``tiles`` (int32 [steps] corpus-tile
-    ids). Returns (val [steps, n_units, B], mates [steps, n_units*G, B]).
-    """
-    n, d = corpus.shape
-    b = queries.shape[0]
-    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
-    steps = tiles.shape[0]
-    size_arr = jnp.asarray([n if size is None else size], jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda i, size_r, tiles_r: (tiles_r[i], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, n_units, b), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_units * groups, b), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_mates_kernel, tile=tile, groups=groups,
-                          n_units=n_units, precision=precision),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((steps, n_units, b), jnp.float32),
-            jax.ShapeDtypeStruct((steps, n_units * groups, b), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * steps * tile * d,
-            bytes_accessed=steps * tile * d * corpus.dtype.itemsize,
-            transcendentals=0),
-        interpret=interpret,
-    )(size_arr, tiles, queries.astype(jnp.float32), corpus)
-
-
 def _extract_kernel(size_ref, tiles_ref, q_ref, c_ref, val_out, col_out, *,
                     tile: int, rounds: int, precision):
     """Per-tile EXACT top-``rounds`` rows by iterative extraction.
 
     Grid step ``t`` scores corpus tile ``tiles_ref[t]`` and runs
     ``rounds`` max/argmax/mask iterations inside ONE ``fori_loop`` — the
-    loop body is compiled once, keeping the Mosaic program small (the
-    unrolled 16-unit mates export OOM-killed the AOT compile helper;
-    round-4f diagnostic). Exports:
+    loop body is compiled once, keeping the Mosaic program small (an
+    unrolled multi-unit export OOM-killed the AOT compile helper;
+    docs/RESULTS_r4.md §8a). Exports:
       val_out [1, rounds, B] f32 — exact accumulator scores, rank order;
       col_out [1, rounds, B] i32 — tile-local columns of those rows.
     Rows at/after ``size`` score NEG_INF and sort away outside.
@@ -1182,7 +968,7 @@ def _extract_kernel(size_ref, tiles_ref, q_ref, c_ref, val_out, col_out, *,
     Cost is ~3 elementwise passes over [B, tile] per round, so this is
     only for SMALL grids (the union pass: ``rounds=k`` over the
     suspicious tiles). The full-corpus main pass stays on the packed
-    single-pass ``_mates_kernel``.
+    single-pass ``_packed_extract_kernel``.
     """
     t = pl.program_id(0)
     b = q_ref.shape[0]
@@ -1211,6 +997,22 @@ def _extract_scaled_kernel(size_ref, tiles_ref, q_ref, c_ref, scale_ref,
                     col_out, rounds)
 
 
+def _extract_int8_kernel(size_ref, tiles_ref, q_ref, c_ref, scale_ref,
+                         qs_ref, val_out, col_out, *, tile: int,
+                         rounds: int):
+    """``_extract_kernel`` with the int8-native MXU dot — scores the
+    SAME function as ``_packed_extract_int8_kernel`` (int32 accumulate,
+    then (i32 * corpus_scale) * query_scale in that order)."""
+    t = pl.program_id(0)
+    scores_i = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                     # [B, tile]
+    scores = (scores_i.astype(jnp.float32) * scale_ref[:]) * qs_ref[:]
+    _extract_rounds(scores, tiles_ref[t] * tile, size_ref[0], val_out,
+                    col_out, rounds)
+
+
 def _extract_rounds(scores, base, size_val, val_out, col_out, rounds):
     """Shared exact top-``rounds`` masked-argmax extraction body."""
     b = scores.shape[0]
@@ -1228,9 +1030,10 @@ def _extract_rounds(scores, base, size_val, val_out, col_out, rounds):
 
 
 def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
-                  precision, row_scale=None):
+                  precision, row_scale=None, q_scale=None):
     """Run ``_extract_kernel`` over ``tiles`` (int32 [steps] tile ids).
-    Returns (val [steps, rounds, B] f32, col [steps, rounds, B] i32)."""
+    Returns (val [steps, rounds, B] f32, col [steps, rounds, B] i32).
+    ``q_scale`` selects the int8-native kernel (see _packed_pass)."""
     n, d = corpus.shape
     b = queries.shape[0]
     assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
@@ -1242,16 +1045,32 @@ def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
         pl.BlockSpec((tile, d), lambda i, size_r, tiles_r: (tiles_r[i], 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [size_arr, tiles, queries.astype(jnp.float32), corpus]
     if row_scale is None:
+        operands = [size_arr, tiles, queries.astype(jnp.float32), corpus]
         kernel = functools.partial(_extract_kernel, tile=tile,
                                    rounds=rounds, precision=precision)
+    elif q_scale is not None:
+        assert queries.dtype == jnp.int8 and corpus.dtype == jnp.int8
+        assert row_scale.shape == (n,), (row_scale.shape, n)
+        in_specs += [
+            pl.BlockSpec((1, tile),
+                         lambda i, size_r, tiles_r: (0, tiles_r[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [size_arr, tiles, queries, corpus,
+                    row_scale.astype(jnp.float32).reshape(1, n),
+                    q_scale.astype(jnp.float32).reshape(b, 1)]
+        kernel = functools.partial(_extract_int8_kernel, tile=tile,
+                                   rounds=rounds)
     else:
         assert row_scale.shape == (n,), (row_scale.shape, n)
         in_specs.append(pl.BlockSpec(
             (1, tile), lambda i, size_r, tiles_r: (0, tiles_r[i]),
             memory_space=pltpu.VMEM))
-        operands.append(row_scale.astype(jnp.float32).reshape(1, n))
+        operands = [size_arr, tiles, queries.astype(jnp.float32), corpus,
+                    row_scale.astype(jnp.float32).reshape(1, n)]
         kernel = functools.partial(_extract_scaled_kernel, tile=tile,
                                    rounds=rounds, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1285,140 +1104,83 @@ def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
     )(*operands)
 
 
-def _top2_rows(mates_bt, val_bt, tile, groups):
-    """Per-tile top-2 candidate rows from exact mate scores.
-
-    mates_bt [B, T, 2G] exact f32; val_bt [B, T, 2] packed int32.
-    Returns (c1v, row1, c2v, row2, c3v): the two best exact scores with
-    their global row ids, plus the exact 3rd-best (the residue bound for
-    ranks 3..2G). Ties mask duplicates together — the skipped copy has
-    an identical score, so the top-k set differs only among equal-score
-    rows.
-    """
-    b, t, _ = mates_bt.shape
-    small = tile // groups
-    j_bt = (val_bt & jnp.int32(tile - 1)) % small             # [B, T, 2]
-    tile_base = (jnp.arange(t, dtype=jnp.int32) * tile)[None, :]
-
-    def pick(m):
-        v = jnp.max(m, axis=2)
-        a = jnp.argmax(m, axis=2).astype(jnp.int32)           # [B, T]
-        r, g = a // groups, a % groups
-        # r is 0/1: select, never gather ([B,T] take_along_axis lowers to
-        # a ~38 ns/row XLA gather — ~200 ms at T=5120; round-4f sweep).
-        j = jnp.where(r == 0, j_bt[:, :, 0], j_bt[:, :, 1])
-        return v, tile_base + j + g * small, m == v[..., None]
-
-    c1v, row1, hit1 = pick(mates_bt)
-    m2 = jnp.where(hit1, NEG_INF, mates_bt)
-    c2v, row2, hit2 = pick(m2)
-    c3v = jnp.max(jnp.where(hit2, NEG_INF, m2), axis=2)
-    return c1v, row1, c2v, row2, c3v
-
+# ---------------------------------------------------------------------------
+# Round-5 ANN fast path: packed scan + candidate rescore, NO covers
+# (VERDICT r4 next #5). The certified kernel's exactness tax — c1 rescue
+# gather, c2 union extraction, c3 bound checks — is ~40% of its runtime
+# at 10M (RESULTS_r4 §8). Approximate traffic shouldn't pay it: this path
+# runs ONLY the single-pass packed extraction, widened to the per-tile
+# top-``k`` UNIT winners (each extra winner is one max+mask over the
+# G-times-smaller unit array — ~tile/G of a full pass), and exactly
+# rescores the top candidates by packed value. Units are strided, so a
+# CONTIGUOUS same-document chunk run of up to tile/G rows lands in
+# distinct units and surfaces whole; misses need >n_winners true top-k
+# rows aliasing into one tile's unit ranking — measured recall 1.0 on
+# the clustered 10M bench corpus (bench.py ann config).
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile", "groups", "interpret",
-                                    "precision", "union_tiles"))
-def pallas_topk_certified2(queries: jax.Array, corpus: jax.Array, k: int,
-                           size: jax.Array | int | None = None,
-                           tile: int = 2048, groups: int = 8,
-                           union_tiles: int = 32,
-                           interpret: bool = False, precision=None):
-    """EXACT top-k via exact-mate export — see the block comment above.
+                                    "precision", "oversample", "n_winners"))
+def pallas_topk_ann(queries: jax.Array, corpus: jax.Array, k: int,
+                    size: jax.Array | int | None = None, tile: int = 4096,
+                    groups: int = 8, oversample: int = 32,
+                    n_winners: int | None = None,
+                    interpret: bool = False, precision=None,
+                    row_scale: jax.Array | None = None):
+    """Approximate top-k at packed-scan speed (one corpus read + ~1
+    extraction pass + a tiny gather-rescore).
 
-    Same contract as ``pallas_topk_certified``: queries [B,D]
-    pre-normalized (scores in (-2, 2)), corpus [N,D] with N % tile == 0
-    and 2*(N/tile) > k; returns (scores [B,k] f32, ids [B+1,k] int32)
-    with ids[B,0] = uncovered certificate count (0 = exact w.r.t.
-    corpus-dtype scoring, up to ties). Scores are exact f32 accumulator
-    values exported by the kernel — nothing is ever re-scored outside.
+    queries [B,D] pre-normalized; corpus [N,D], N % tile == 0. Returns
+    (scores [B,k] f32 — exact f32 rescores of the candidates — and ids
+    [B,k] i32). ``n_winners`` (default k) unit winners are exported per
+    tile; the best ``oversample`` candidates by packed value are exactly
+    rescored. No exactness certificate — approximate traffic only.
     """
     n, d = corpus.shape
     b = queries.shape[0]
     num_tiles = n // tile
-    assert 2 * num_tiles > k, (num_tiles, k)
+    small = tile // groups
+    nw = min(n_winners or max(2, k), small)
+    r_cnt = min(max(oversample, k), nw * num_tiles)
     precision = _resolve_precision(corpus, precision)
-    size_ = jnp.asarray(n if size is None else size, jnp.int32)
-
-    tiles_main = jnp.arange(num_tiles, dtype=jnp.int32)
-    val, mates = _mates_pass(queries, corpus, size, tile, groups, 2,
-                             tiles_main, interpret, precision)
-    val_bt = jax.lax.bitcast_convert_type(
-        jnp.transpose(val, (2, 0, 1)), jnp.int32)             # [B, T, 2]
-    mates_bt = jnp.transpose(mates, (2, 0, 1))                # [B, T, 2G]
-    c1v, row1, c2v, row2, c3v = _top2_rows(mates_bt, val_bt, tile, groups)
-
-    cand_s = jnp.concatenate([c1v, c2v], axis=1)              # [B, 2T]
-    cand_i = jnp.concatenate([row1, row2], axis=1)
-    top_s, pos = jax.lax.top_k(cand_s, k)
-    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-    tau = top_s[:, k - 1]                                     # [B]
-
-    # Suspicion: non-exported units (quantized w2 bound) OR mate ranks
-    # 3..2G (exact 3rd-best bound). Union selection by worst margin.
-    ub2 = _unpack_ub(val_bt[:, :, 1], tile)                   # [B, T]
-    sus = (ub2 > tau[:, None]) | (c3v > tau[:, None])
-    margin = jnp.maximum(ub2, c3v) - tau[:, None]
-    u = min(union_tiles, num_tiles)
-    priority = jnp.max(jnp.where(sus, margin, -jnp.inf), axis=0)
-    sel_pri, sel_tiles = jax.lax.top_k(priority, u)
-    sel_valid = sel_pri > -jnp.inf
-    selected = jnp.zeros((num_tiles,), bool).at[sel_tiles].set(sel_valid)
-    uncovered = jnp.sum(sus & ~selected[None, :]).astype(jnp.int32)
-
-    # Union pass: EXACT top-k extraction over the U hottest tiles, read
-    # in place via the scalar-prefetch index map. A single tile can
-    # contribute at most k rows to a global top-k, so per-tile exact
-    # top-k export covers every possible contribution — selected tiles
-    # need NO residual certificate term (unlike the quantized-units
-    # design, whose 16-unit unrolled export also OOM-killed the Mosaic
-    # AOT compile; see _extract_kernel).
-    uval, ucol = _extract_pass(queries, corpus, size, tile, k, sel_tiles,
-                               interpret, precision)
-    uc = jnp.transpose(uval, (2, 0, 1))                       # [B, U, k]
-    uc = jnp.where(sel_valid[None, :, None], uc, NEG_INF)
-    urow = sel_tiles[:, None, None] * tile + ucol             # [U, k, B]
-    urow_b = jnp.transpose(urow, (2, 0, 1)).reshape(b, -1)
-    r_s, r_pos = jax.lax.top_k(uc.reshape(b, -1), k)
-    r_i = jnp.take_along_axis(urow_b, r_pos, axis=1)
-
-    # Candidates from selected tiles are re-found by the union pass.
-    in_sel = selected[jnp.clip(top_i // tile, 0, num_tiles - 1)]
-    m_s = jnp.concatenate([jnp.where(in_sel, NEG_INF, top_s), r_s], axis=1)
-    m_i = jnp.concatenate([top_i, r_i], axis=1)
-    out_s, opos = jax.lax.top_k(m_s, k)
-    out_i = jnp.take_along_axis(m_i, opos, axis=1)
-    count_row = jnp.zeros((1, k), jnp.int32).at[0, 0].set(uncovered)
-    return out_s, jnp.concatenate([out_i, count_row], axis=0)
+    (w_packed,) = _packed_pass(queries, corpus, size, tile, groups,
+                               interpret, precision, row_scale=row_scale,
+                               n_winners=nw)
+    w_val = jax.lax.bitcast_convert_type(w_packed, jnp.int32)
+    vals = jnp.transpose(w_val, (2, 0, 1)).reshape(b, nw * num_tiles)
+    cand_tile = (jnp.arange(nw * num_tiles, dtype=jnp.int32) // nw)[None, :]
+    rows = cand_tile * tile + (vals & jnp.int32(tile - 1))
+    vtop, vpos = jax.lax.top_k(vals, r_cnt)
+    sel_rows = jnp.take_along_axis(jnp.broadcast_to(rows, vals.shape),
+                                   vpos, axis=1)               # [B, R]
+    sel_rows = jnp.where(vtop > 0, sel_rows, -1)               # padding
+    return rescore_topk(queries, corpus, sel_rows, k, row_scale=row_scale)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "sub_batch", "tile", "groups",
-                                    "interpret", "precision", "union_tiles"))
-def pallas_topk_certified2_multi(queries: jax.Array, corpus: jax.Array,
-                                 k: int,
-                                 size: jax.Array | int | None = None,
-                                 sub_batch: int = 1024, tile: int = 2048,
-                                 groups: int = 8, union_tiles: int = 32,
-                                 interpret: bool = False, precision=None):
-    """``pallas_topk_certified2`` over M sub-batches in ONE dispatch —
-    same contract as ``pallas_topk_certified_multi``."""
+                                    "interpret", "precision", "oversample"))
+def pallas_topk_ann_multi(queries: jax.Array, corpus: jax.Array, k: int,
+                          size: jax.Array | int | None = None,
+                          sub_batch: int = 1024, tile: int = 4096,
+                          groups: int = 8, oversample: int = 32,
+                          interpret: bool = False, precision=None,
+                          row_scale: jax.Array | None = None):
+    """``pallas_topk_ann`` over M sub-batches in ONE dispatch (same
+    rationale as ``pallas_topk_certified_multi``)."""
     mb, d = queries.shape
     assert mb % sub_batch == 0, (mb, sub_batch)
     m = mb // sub_batch
 
     def one(q):
-        return pallas_topk_certified2(
-            q, corpus, k, size, tile=tile, groups=groups,
-            union_tiles=union_tiles,
-            interpret=interpret, precision=precision)
+        return pallas_topk_ann(q, corpus, k, size, tile=tile,
+                               groups=groups, oversample=oversample,
+                               interpret=interpret, precision=precision,
+                               row_scale=row_scale)
 
     s, i = jax.lax.map(one, queries.reshape(m, sub_batch, d))
-    scores = s.reshape(mb, k)
-    ids = i[:, :sub_batch, :].reshape(mb, k)
-    uncovered = jnp.sum(i[:, sub_batch, 0]).astype(jnp.int32)
-    count_row = jnp.zeros((1, k), jnp.int32).at[0, 0].set(uncovered)
-    return scores, jnp.concatenate([ids, count_row], axis=0)
+    return s.reshape(mb, k), i.reshape(mb, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -1489,8 +1251,13 @@ def dispatch_topk(queries, corpus, k, size=None, *, prefer_pallas=None,
         prefer_pallas = on_tpu and n % tile == 0 and k <= 128
     if prefer_pallas:
         if approx_tile_k is not None:
+            # Feasibility clamp: tiles*tile_k winners must cover k (an
+            # oversampling caller on a SMALL corpus — e.g. the int8
+            # 4x-oversample search at 8k rows — would otherwise trip the
+            # kernel's candidate-count assert).
+            eff_tile_k = max(approx_tile_k, -(-k // max(n // tile, 1)))
             return pallas_topk(queries, corpus, k, size, tile=tile,
-                               tile_k=approx_tile_k, interpret=not on_tpu,
+                               tile_k=eff_tile_k, interpret=not on_tpu,
                                row_scale=row_scale)
         if n // tile >= 64 * k:
             # Extraction-bound regime: packed single-pass extraction with

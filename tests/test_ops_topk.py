@@ -493,172 +493,3 @@ def test_dispatch_pads_awkward_large_batches_to_multi(monkeypatch):
         assert ids.shape == (b, 4), "pad sliced, certificate row stripped"
 
 
-# --------------------------- round-4: certified2 (exact unit-mate export)
-
-def test_certified2_random(rng):
-    from optimized_rag_tpu.ops.topk import pallas_topk_certified2
-    q, c = _make(rng, b=8, n=128 * 40, d=64)
-    oracle_s, oracle_i = _oracle_topk(q, c, 10)
-    s, packed = pallas_topk_certified2(jnp.asarray(q), jnp.asarray(c), 10,
-                                       tile=128, interpret=True)
-    packed = np.asarray(packed)
-    assert packed[-1, 0] == 0
-    _check(s, packed[:-1], oracle_s, oracle_i)
-
-
-def test_certified2_clustered(rng):
-    """A query's full top-k inside ONE tile: mate ranks 3..2G exceed tau,
-    so the residue bound must pull the tile into the union pass, whose
-    exact 16-unit export recovers every winner."""
-    from optimized_rag_tpu.ops.topk import pallas_topk_certified2
-    q, c, n = _clustered_case(rng, b=8)
-    oracle_s, oracle_i = _oracle_topk(q, c, 10)
-    s, packed = pallas_topk_certified2(jnp.asarray(q), jnp.asarray(c), 10,
-                                       tile=128, union_tiles=16,
-                                       interpret=True)
-    packed = np.asarray(packed)
-    assert packed[-1, 0] == 0
-    _check(s, packed[:-1], oracle_s, oracle_i)
-    assert set(packed[0]) == set(oracle_i[0])
-
-
-def test_certified2_single_unit_cluster(rng):
-    """All k winners inside ONE G-row unit of one tile: rows 2..k hide
-    behind the unit winner and only the exact mate export sees them."""
-    from optimized_rag_tpu.ops.topk import pallas_topk_certified2
-    tile, groups, d = 128, 8, 32
-    small = tile // groups
-    n = tile * 60
-    q = np.asarray(normalize(jnp.asarray(
-        rng.standard_normal((4, d), dtype=np.float32))))
-    c = rng.standard_normal((n, d)).astype(np.float32) * 0.1
-    for bi in range(4):
-        t0 = (bi * 5 + 2) * tile
-        unit = 3
-        rows = [t0 + unit + g * small for g in range(groups)]
-        for rank, r in enumerate(rows):
-            c[r] = q[bi] * (1.0 - 0.001 * rank) \
-                + 0.001 * rng.standard_normal(d)
-    c = np.asarray(normalize(jnp.asarray(c)))
-    oracle_s, oracle_i = _oracle_topk(q, c, groups)
-    s, packed = pallas_topk_certified2(jnp.asarray(q), jnp.asarray(c),
-                                       groups, tile=tile, groups=groups,
-                                       interpret=True)
-    packed = np.asarray(packed)
-    assert packed[-1, 0] == 0
-    _check(s, packed[:-1], oracle_s, oracle_i)
-
-
-def test_certified2_padding(rng):
-    from optimized_rag_tpu.ops.topk import pallas_topk_certified2
-    q, c = _make(rng, b=8, n=128 * 40, d=64)
-    size = 128 * 40 - 77
-    oracle_s, oracle_i = _oracle_topk(q, c, 10, size=size)
-    s, packed = pallas_topk_certified2(jnp.asarray(q), jnp.asarray(c), 10,
-                                       size=size, tile=128, interpret=True)
-    packed = np.asarray(packed)
-    assert packed[-1, 0] == 0
-    _check(s, packed[:-1], oracle_s, oracle_i)
-    assert packed[:-1].max() < size
-
-
-def test_certified2_negative_scores(rng):
-    from optimized_rag_tpu.ops.topk import pallas_topk_certified2
-    q = np.asarray(normalize(jnp.asarray(
-        rng.standard_normal((4, 32), dtype=np.float32))))
-    base = rng.standard_normal((128 * 20, 32)).astype(np.float32)
-    for bi in range(4):
-        base -= 0.5 * np.abs(base @ q[bi])[:, None] * q[bi]
-    c = np.asarray(normalize(jnp.asarray(base)))
-    oracle_s, oracle_i = _oracle_topk(q, c, 5)
-    s, packed = pallas_topk_certified2(jnp.asarray(q), jnp.asarray(c), 5,
-                                       tile=128, interpret=True)
-    packed = np.asarray(packed)
-    assert packed[-1, 0] == 0
-    _check(s, packed[:-1], oracle_s, oracle_i)
-
-
-def test_certified2_detects_union_overflow(rng):
-    """More suspicious tiles than union slots: either everything is
-    covered anyway or the certificate must read uncovered > 0 — never a
-    silently wrong result."""
-    from optimized_rag_tpu.ops.topk import pallas_topk_certified2
-    q, c, n = _clustered_case(rng, b=8)
-    s, packed = pallas_topk_certified2(jnp.asarray(q), jnp.asarray(c), 10,
-                                       tile=128, union_tiles=2,
-                                       interpret=True)
-    packed = np.asarray(packed)
-    if packed[-1, 0] == 0:
-        oracle_s, oracle_i = _oracle_topk(q, c, 10)
-        _check(s, packed[:-1], oracle_s, oracle_i)
-
-
-def test_certified2_dense_single_tile_cluster(rng):
-    """64 near-duplicate rows packed into ONE tile (denser than any unit
-    budget): the union pass's exact per-tile top-k export must recover
-    the full top-k with a clean certificate."""
-    from optimized_rag_tpu.ops.topk import pallas_topk_certified2
-    tile, d, k = 128, 32, 10
-    n = tile * 60
-    q = np.asarray(normalize(jnp.asarray(
-        rng.standard_normal((2, d), dtype=np.float32))))
-    c = rng.standard_normal((n, d)).astype(np.float32) * 0.1
-    for bi in range(2):
-        t0 = (bi * 9 + 4) * tile
-        c[t0:t0 + 64] = q[bi] + 0.01 * rng.standard_normal((64, d))
-    c = np.asarray(normalize(jnp.asarray(c)))
-    s, packed = pallas_topk_certified2(jnp.asarray(q), jnp.asarray(c), k,
-                                       tile=tile, interpret=True)
-    packed = np.asarray(packed)
-    assert packed[-1, 0] == 0
-    oracle_s, oracle_i = _oracle_topk(q, c, k)
-    _check(s, packed[:-1], oracle_s, oracle_i)
-
-
-def test_certified2_multi_matches_single(rng):
-    from optimized_rag_tpu.ops.topk import (
-        pallas_topk_certified2, pallas_topk_certified2_multi)
-    q, c = _make(rng, b=12, n=128 * 40, d=64)
-    s, packed = pallas_topk_certified2_multi(
-        jnp.asarray(q), jnp.asarray(c), 10, sub_batch=4, tile=128,
-        interpret=True)
-    packed = np.asarray(packed)
-    total_unc = 0
-    for j in range(3):
-        s1, p1 = pallas_topk_certified2(
-            jnp.asarray(q[j * 4:(j + 1) * 4]), jnp.asarray(c), 10,
-            tile=128, interpret=True)
-        p1 = np.asarray(p1)
-        np.testing.assert_array_equal(packed[j * 4:(j + 1) * 4],
-                                      p1[:-1])
-        np.testing.assert_allclose(np.asarray(s)[j * 4:(j + 1) * 4],
-                                   np.asarray(s1))
-        total_unc += p1[-1, 0]
-    assert packed[-1, 0] == total_unc
-
-
-# ----------------------- round-4: pipelined main pass (MXU/VPU overlap)
-
-def test_packed_pass_pipe_bit_identical(rng):
-    """The lookback-pipelined main pass must produce the exact packed
-    [T, 2, B] output of the single-stage kernel, including the padding
-    mask on a partial final tile."""
-    from optimized_rag_tpu.ops.topk import _packed_pass, _packed_pass_pipe
-    q, c = _make(rng, b=8, n=128 * 12, d=64)
-    q, c = jnp.asarray(q), jnp.asarray(c)
-    for size in (None, 128 * 12 - 45):
-        (a,) = _packed_pass(q, c, size, 128, 8, True, None)
-        (p,) = _packed_pass_pipe(q, c, size, 128, 8, True, None)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
-
-
-def test_certified_pipeline_matches_default(rng):
-    from optimized_rag_tpu.ops.topk import pallas_topk_certified
-    q, c = _make(rng, b=8, n=128 * 40, d=64)
-    oracle_s, oracle_i = _oracle_topk(q, c, 10)
-    s, packed = pallas_topk_certified(jnp.asarray(q), jnp.asarray(c), 10,
-                                      tile=128, interpret=True,
-                                      pipeline=True)
-    packed = np.asarray(packed)
-    assert packed[-1, 0] == 0
-    _check(s, packed[:-1], oracle_s, oracle_i)
