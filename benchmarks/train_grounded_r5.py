@@ -114,7 +114,8 @@ def main() -> None:
                          mlp_dim=1536, max_seq_len=3072, copy_dim=128)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=args.peak_lr / 30, peak_value=args.peak_lr,
-        warmup_steps=300, decay_steps=args.steps, end_value=1e-5)
+        warmup_steps=min(300, max(args.steps // 4, 1)),
+        decay_steps=args.steps, end_value=1e-5)
 
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()

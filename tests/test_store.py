@@ -296,6 +296,45 @@ def test_heuristic_triples_patterns():
     assert heuristic_triples("It multiplies matrices.") == []  # pronoun
 
 
+def test_heuristic_triples_morph_fallback():
+    """Round-5 general-register morphological fallback: inflected /
+    irregular / base+preposition verbs outside the curated lexicon
+    (instrument: eval/kg_eval.py out_of_register + held_out)."""
+    from optimized_rag_tpu.store.kg import heuristic_triples
+    t = heuristic_triples("The central bank raised interest rates by "
+                          "half a percentage point on Tuesday.")
+    assert t and t[0][0] == "central bank" and t[0][1] == "raised"
+    t = heuristic_triples("LLMs rely on static training data, making "
+                          "them prone to hallucinations.")
+    assert t == [("LLMs", "rely on", "static training data")]
+    t = heuristic_triples("Hurricane Milton made landfall near Tampa.")
+    assert t and t[0][1].startswith("made")
+    # capitalized name parts are never taken as the verb
+    t = heuristic_triples("Northwind Logistics acquired its largest "
+                          "regional rival.")
+    assert t == [("Northwind Logistics", "acquired",
+                  "largest regional rival")]
+
+
+def test_kg_eval_sections():
+    """The instrument carries in-register, out-of-register, and a
+    frozen held-out section (VERDICT r4 next #6); the curated+morph
+    extractor must stay honest: in/out-of-register measured at 1.0 with
+    enriched gold, held-out reported as-is (no tuning)."""
+    from optimized_rag_tpu.eval.kg_eval import (
+        GOLD_CASES, GOLD_HELDOUT_CASES, GOLD_OOR_CASES, score_extractor)
+    from optimized_rag_tpu.store.kg import heuristic_triples
+    assert len(GOLD_OOR_CASES) >= 10 and len(GOLD_HELDOUT_CASES) >= 8
+    r = score_extractor(heuristic_triples, GOLD_CASES)
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+    oor = score_extractor(heuristic_triples, GOLD_OOR_CASES)
+    assert oor["recall"] >= 0.9
+    held = score_extractor(heuristic_triples, GOLD_HELDOUT_CASES)
+    # pin the honest (imperfect) held-out floor, not an exact value:
+    # a regression below it means the fallback broke
+    assert held["recall"] >= 0.5 and held["precision"] >= 0.7
+
+
 def test_kg_query_chains_compose_two_hops(tmp_path):
     from optimized_rag_tpu.store.db import MetadataStore
     from optimized_rag_tpu.store.kg import (
