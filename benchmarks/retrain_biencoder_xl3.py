@@ -1,0 +1,170 @@
+"""Cross-lingual biencoder retrain (VERDICT r4 next #3).
+
+Identical corpus/holdout/tokenizer/architecture/recipe to the bundled
+xl2 run (benchmarks/retrain_biencoder_xl.py) with ONE change: the ICT
+query spans are augmented through models/xlingual.augment_queries — a
+deterministic ~45% of spans are rendered into pt/es/fr/de (inverted
+lexicons + cognate suffix rules + Romance head-inversion) while the
+positive stays the ENGLISH chunk. The encoder learns to embed
+non-English queries into the EN chunk space directly, replacing the
+translation hop (reference bar: text-embedding-3-small's native
+multilinguality, /root/reference/memory/embeddings.py:62).
+
+Gates printed at the end (the swap into checkpoints/pretrained happens
+only if BOTH hold — run with --swap):
+  * EN shared-holdout ICT recall@10 must not regress materially vs the
+    bundled checkpoint (>= bundled - 0.02);
+  * cross-lingual ICT recall@10 (translated spans -> EN chunks) must
+    beat the bundled checkpoint by a wide margin.
+
+Run (chip):  python benchmarks/retrain_biencoder_xl3.py [--swap]
+Resume after an outage: same command (snapshot protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def xlingual_holdout_recall(service, held_out, k: int = 10,
+                            n_queries: int = 400, seed: int = 5) -> dict:
+    """ICT spans from held-out chunks rendered into pt/es/fr/de
+    (round-robin) must retrieve their ENGLISH source chunk."""
+    import numpy as np
+
+    from optimized_rag_tpu.index.dense import DenseIndex
+    from optimized_rag_tpu.models.pretrain import ICTSampler
+    from optimized_rag_tpu.models.xlingual import LANGS, translate_en
+
+    idx = DenseIndex(dim=service.dim, capacity_block=1024, tile=256)
+    idx.add(service.encode(held_out))
+    sampler = ICTSampler(held_out, min_span=3, max_span=8)
+    rng = np.random.default_rng(seed)
+    q, _, picks = sampler.sample(rng, n_queries)
+    per_lang = {}
+    total_hits = 0
+    for li, lang in enumerate(LANGS):
+        ql = [translate_en(s, lang) for s in q[li::len(LANGS)]]
+        want = picks[li::len(LANGS)]
+        ids = idx.search(service.encode(ql), k).ids
+        hits = sum(int(w in row.tolist()) for row, w in zip(ids, want))
+        per_lang[lang] = round(hits / len(ql), 4)
+        total_hits += hits
+    per_lang["all"] = round(total_hits / n_queries, 4)
+    return per_lang
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--peak-lr", type=float, default=3e-4)
+    ap.add_argument("--en-keep", type=float, default=0.55)
+    ap.add_argument("--tok-from",
+                    default=os.path.join(REPO, "checkpoints",
+                                         "pretrained"))
+    ap.add_argument("--out",
+                    default=os.path.join(REPO, "checkpoints",
+                                         "pretrained_xl3"))
+    ap.add_argument("--swap", action="store_true",
+                    help="swap into checkpoints/pretrained when the "
+                         "gates pass")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    import optax
+
+    from benchmarks.train_pretrained import ict_holdout_recall, real_chunks
+    from optimized_rag_tpu.models import pretrain
+    from optimized_rag_tpu.models.corpus import harvest_all
+    from optimized_rag_tpu.models.encoder import (
+        EmbeddingService, TransformerConfig)
+    from optimized_rag_tpu.models.xlingual import augment_queries
+    from optimized_rag_tpu.parallel.mesh import make_mesh
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+
+    # Corpus + holdout exactly as the xl/xl2 profiles derive them.
+    big = harvest_all(max_chunks=100000, extra_dirs=[REPO])
+    prose = [t for t in big if "def " not in t and "self." not in t]
+    held_out, held_set = prose[:300], set(prose[:300])
+    train_texts = [t for t in big if t not in held_set]
+    texts = pretrain.default_corpus(real_chunks() + train_texts)
+    print(f"corpus: {len(texts)} chunks, holdout {len(held_out)}",
+          flush=True)
+
+    cfg = TransformerConfig(vocab_size=32768, hidden_dim=384,
+                            num_layers=6, num_heads=12, mlp_dim=1536,
+                            max_seq_len=128, out_dim=384)
+    tok = pretrain.load_tokenizer(args.tok_from, cfg.vocab_size, 64)
+
+    # Baseline: the bundled checkpoint's numbers on BOTH instruments.
+    bundled_dir = os.path.join(REPO, "checkpoints", "pretrained")
+    bcfg, bparams = pretrain.load_pretrained(bundled_dir, "biencoder")
+    bsvc = EmbeddingService(bcfg, params=bparams, max_len=64,
+                            cache_size=0,
+                            tokenizer=pretrain.load_tokenizer(
+                                bundled_dir, bcfg.vocab_size, 64))
+    base_en = ict_holdout_recall(bsvc, held_out)
+    base_xl = xlingual_holdout_recall(bsvc, held_out)
+    print(f"bundled: EN holdout {base_en:.3f}, xlingual {base_xl}",
+          flush=True)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=args.peak_lr / 30, peak_value=args.peak_lr,
+        warmup_steps=300, decay_steps=args.steps, end_value=1e-5)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    params, loss = pretrain.train_biencoder(
+        texts, cfg, mesh, steps=args.steps, batch=args.batch,
+        learning_rate=schedule, log=lambda m: print(m, flush=True),
+        tok=tok, snapshot_dir=args.out,
+        query_transform=lambda q: augment_queries(q,
+                                                  en_keep=args.en_keep))
+    print(f"final loss {loss:.4f} ({time.time() - t0:.0f}s)", flush=True)
+
+    pretrain.save_pretrained(args.out, "biencoder", params, cfg,
+                             store_dtype=np.float16)
+    src = os.path.join(args.tok_from, "tokenizer.vocab.txt")
+    dst = os.path.join(args.out, "tokenizer.vocab.txt")
+    if os.path.exists(src) and not os.path.exists(dst):
+        shutil.copyfile(src, dst)
+
+    svc = EmbeddingService(cfg, params=params, max_len=64, cache_size=0,
+                           tokenizer=pretrain.load_tokenizer(
+                               args.out, cfg.vocab_size, 64))
+    new_en = ict_holdout_recall(svc, held_out)
+    new_xl = xlingual_holdout_recall(svc, held_out)
+    gates = {"en_ok": new_en >= base_en - 0.02,
+             "xl_ok": new_xl["all"] >= base_xl["all"] + 0.15}
+    out = {"bundled_en": base_en, "bundled_xl": base_xl,
+           "xl3_en": new_en, "xl3_xl": new_xl, "gates": gates,
+           "steps": args.steps, "final_loss": round(float(loss), 4)}
+    print(json.dumps(out, indent=2), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+    if args.swap and all(gates.values()):
+        for f in ("biencoder.params.npz", "biencoder.config.json"):
+            shutil.copyfile(os.path.join(args.out, f),
+                            os.path.join(bundled_dir, f))
+        print("SWAPPED into checkpoints/pretrained", flush=True)
+    elif args.swap:
+        print("gates failed — NOT swapped", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,10 +97,13 @@ def rewrite_query(state: AgentState, agent) -> None:
     query = state.user_input
     if _is_non_english(query):
         state.language = "non-en"
-        state.translated_input = agent.llm.complete(
-            prompts.TRANSLATE_PROMPT.format(query=query),
-            task="translate").strip() or query
-        query = state.translated_input
+        if agent.settings.flags.enable_translation:
+            state.translated_input = agent.llm.complete(
+                prompts.TRANSLATE_PROMPT.format(query=query),
+                task="translate").strip() or query
+            query = state.translated_input
+        # else: the cross-lingually trained encoder embeds the query
+        # into the EN chunk space directly (models/xlingual.py)
     out = agent.query_rewriter.rewrite(query, state.query_intent,
                                        state.recent_messages)
     state.rewritten_query = out["rewritten"]

@@ -325,6 +325,11 @@ class Flags:
     enable_citation_validation: bool = True
     enable_factuality_scoring: bool = True
     enable_query_rewriting: bool = True
+    # Translate non-English queries before retrieval (reference
+    # rag/nodes/rewrite_query.py:26-32). Off = rely on the encoder's
+    # cross-lingual training (models/xlingual.py): pt/es/fr/de queries
+    # embed directly into the EN chunk space.
+    enable_translation: bool = True
     enable_intent_recognition: bool = True
     enable_multi_doc_synthesis: bool = True
     enable_memory_fact_extraction: bool = True

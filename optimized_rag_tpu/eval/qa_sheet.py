@@ -206,6 +206,75 @@ PDF_SHEET: List[QAItem] = [
            unanswerable=True),
 ]
 
+# HARD reference-PDF section (VERDICT r4 next #4): facts from PDF pages
+# no earlier sheet ever asked about, phrased to MINIMIZE lexical overlap
+# with the source sentences — an instrument designed to be able to fail,
+# published as the round-5 baseline rather than tuned to saturation.
+HARD_PDF_SHEET: List[QAItem] = [
+    QAItem("hard-chunk-window",
+           "What sliding-window settings segment the corpus before "
+           "graph construction?",
+           ["600 tokens", "overlap"], source_hint="dw-grpo.pdf"),
+    QAItem("hard-extract-model",
+           "Which instruction model pulls entities and relationships "
+           "out of each chunk?",
+           ["qwen2.5-72b"], source_hint="dw-grpo.pdf"),
+    QAItem("hard-entity-merge",
+           "How are candidate entity pairs confirmed before merging?",
+           ["discriminator", "0.95", "same real-world concept"],
+           source_hint="dw-grpo.pdf"),
+    QAItem("hard-embed-model",
+           "Which embedding model measures entity description "
+           "similarity during resolution?",
+           ["bge-m3"], source_hint="dw-grpo.pdf"),
+    QAItem("hard-louvain",
+           "Which community detection algorithm builds the hierarchy?",
+           ["louvain"], source_hint="dw-grpo.pdf"),
+    QAItem("hard-seesaw",
+           "What failure mode of static multi-reward weighting does the "
+           "paper name?",
+           ["seesaw"], source_hint="dw-grpo.pdf"),
+    QAItem("hard-weight-rule",
+           "Which reward components receive larger weights under the "
+           "adaptive scheme?",
+           ["slower growth", "rate of change"],
+           source_hint="dw-grpo.pdf"),
+    QAItem("hard-latency-cut",
+           "By how much is latency reduced relative to DRIFT search?",
+           ["86", "81.6"], source_hint="dw-grpo.pdf"),
+    QAItem("hard-question-cats",
+           "Into which categories were test questions divided?",
+           ["comprehensive", "local questions", "global questions"],
+           source_hint="dw-grpo.pdf"),
+    QAItem("hard-em-nq",
+           "What exact-match total does the best configuration reach "
+           "on Natural Questions?",
+           ["44.69"], source_hint="dw-grpo.pdf"),
+    QAItem("hard-baselines",
+           "Against which baseline retrieval strategies is the "
+           "hierarchical method compared?",
+           ["local search", "global search", "drift"],
+           source_hint="dw-grpo.pdf"),
+    QAItem("hard-predef-variants",
+           "Which architectural variants make up structured reasoning "
+           "pipelines in the survey?",
+           ["route-based", "loop-based", "tree-based"],
+           source_hint="system1-system2.pdf"),
+    QAItem("hard-agentic-role",
+           "What role does the language model take in autonomous "
+           "retrieval orchestration?",
+           ["active decision maker", "decision maker",
+            "when and how to retrieve"],
+           source_hint="system1-system2.pdf"),
+    # Hard unanswerable probes in the same register.
+    QAItem("hard-un-colbert",
+           "What late-interaction scoring function does ColBERT use "
+           "for passage ranking?", unanswerable=True),
+    QAItem("hard-un-pq",
+           "How much recall does product quantization lose at 64x "
+           "compression on the BEIR benchmark?", unanswerable=True),
+]
+
 # Cross-lingual section (VERDICT r3 next #4b): Portuguese questions over
 # the same ENGLISH fixture corpus — the reference instrument validacao.md
 # is bilingual for exactly this flow. Runs through the ONLINE provider
@@ -532,7 +601,7 @@ def main(argv=None) -> int:
     sheet = list(QA_SHEET)
     pdf_dir = None if args.pdf_docs in (None, "none") else args.pdf_docs
     if pdf_dir and os.path.isdir(pdf_dir):
-        sheet += PDF_SHEET
+        sheet += PDF_SHEET + HARD_PDF_SHEET
     else:
         pdf_dir = None
         print("pdf-* section skipped (no PDF dir)", file=sys.stderr)
@@ -540,7 +609,20 @@ def main(argv=None) -> int:
     if pdf_dir:
         agent.ingestor.upload_directory(pdf_dir)
     result = run_sheet(agent, sheet=sheet)
-    pdf_rows = [r for r in result["rows"] if r["id"].startswith("pdf-")]
+    hard_rows = [r for r in result["rows"] if r["id"].startswith("hard-")]
+    if hard_rows:
+        # Round-5 baseline section — reported as-is, never tuned to
+        # saturation (an instrument that can fail; VERDICT r4 next #4).
+        hard_ans = [r for r in hard_rows if not r["unanswerable"]]
+        hard_probes = [r for r in hard_rows if r["unanswerable"]]
+        result["summary"]["hardpdf_accuracy"] = (
+            sum(r["correct"] for r in hard_ans) / max(len(hard_ans), 1))
+        result["summary"]["hardpdf_probes_refused"] = (
+            sum(r["correct"] for r in hard_probes)
+            / max(len(hard_probes), 1))
+        result["summary"]["hardpdf_n"] = len(hard_rows)
+    pdf_rows = [r for r in result["rows"]
+                if r["id"].startswith("pdf-")]
     if pdf_rows:
         # Split like the main summary: answer accuracy on answerable
         # questions, refusal correctness on the off-topic probes —

@@ -94,8 +94,15 @@ def train_biencoder(texts: Sequence[str], cfg: TransformerConfig,
                     seed: int = 0,
                     log: Optional[Callable[[str], None]] = None,
                     tok=None, snapshot_dir: Optional[str] = None,
-                    snapshot_every: int = 1000):
+                    snapshot_every: int = 1000,
+                    query_transform: Optional[Callable] = None):
     """ICT-pretrain a BiEncoder; returns (params, last_loss).
+
+    ``query_transform(queries) -> queries`` is applied to each step's
+    query spans before tokenization (positives untouched) — the
+    cross-lingual augmentation hook (models/xlingual.augment_queries).
+    It must be DETERMINISTIC in its inputs: the snapshot/resume replay
+    re-samples the stream but does not re-run the transform.
 
     ``snapshot_dir`` periodically persists the in-flight params (as a
     normal ``biencoder`` checkpoint plus a ``biencoder.step.txt``
@@ -142,6 +149,8 @@ def train_biencoder(texts: Sequence[str], cfg: TransformerConfig,
     t0 = time.time()
     for step in range(start_step, steps):
         q, d, _ = sampler.sample(rng, batch)
+        if query_transform is not None:
+            q = query_transform(q)
         q_ids, q_mask = _encode_batch(tok, q, max_len)
         d_ids, d_mask = _encode_batch(tok, d, max_len)
         loss = trainer.train_step(q_ids, q_mask, d_ids, d_mask)
