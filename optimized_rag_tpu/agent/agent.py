@@ -65,7 +65,8 @@ class RAGAgent:
         self.llm = llm or DeterministicLLM(
             min_weighted=s.verification.extractive_min_weighted,
             min_coverage=s.verification.extractive_min_coverage,
-            min_evidence_mass=s.verification.extractive_min_evidence_mass)
+            min_evidence_mass=s.verification.extractive_min_evidence_mass,
+            embed_min_sim=s.verification.extractive_embed_min_sim)
 
         # Reuse compiled executables across processes (utils/compile_cache):
         # must run before the first jitted call below.
@@ -116,6 +117,12 @@ class RAGAgent:
                 embed_service.encode,
                 max_texts=s.serving.embed_batch_max).start()
             self.embed_fn = self.embed_batcher.encode
+        # Give the extractive generator the encoder for its embedding
+        # rescue channel (zero-lexical-overlap queries; a caller-supplied
+        # provider with its own embed_fn is left untouched).
+        if isinstance(self.llm, DeterministicLLM) \
+                and self.llm.embed_fn is None:
+            self.llm.embed_fn = self.embed_fn
         # The reference always loads its cross-encoder rerank stage
         # (rag/reranker.py:313); build ours by default, flag-gated.
         if cross_encoder is None and s.rerank.enable_cross_encoder:

@@ -57,7 +57,8 @@ class DeterministicLLM:
 
     def __init__(self, min_weighted: float = 2.6,
                  min_coverage: float = 0.7,
-                 min_evidence_mass: float = 1.45):
+                 min_evidence_mass: float = 1.45,
+                 embed_fn=None, embed_min_sim: float = 0.60):
         # Relevance-bar thresholds (config.VerificationConfig
         # extractive_min_weighted / extractive_min_coverage /
         # extractive_min_evidence_mass): calibrated on the QA sheet,
@@ -66,6 +67,16 @@ class DeterministicLLM:
         self.min_weighted = min_weighted
         self.min_coverage = min_coverage
         self.min_evidence_mass = min_evidence_mass
+        # Embedding rescue channel (round 5): when the query shares
+        # almost no lexical surface with the context — the cross-lingual
+        # case with translation disabled — sentence selection rides the
+        # (cross-lingually trained) encoder instead of term overlap.
+        # ``embed_min_sim`` is the refusal bar on best-sentence cosine,
+        # calibrated on the EN holdout probes (eval/holdout_probes.py),
+        # NOT on the cross-lingual sections it unlocks.
+        self.embed_fn = embed_fn
+        self.embed_min_sim = embed_min_sim
+        self.last_bar: Dict = {}
         self.calls: List[tuple] = []
 
     # -- helpers ------------------------------------------------------------
@@ -258,6 +269,42 @@ class DeterministicLLM:
             w = w[:-1]
         return w
 
+    @staticmethod
+    def _non_english(text: str) -> bool:
+        from optimized_rag_tpu.utils.lang import detect_language
+        return detect_language(text) not in (None, "en")
+
+    def _embed_extract(self, query: str, doc_sents, live):
+        """Encoder-space sentence selection for zero-lexical-overlap
+        queries. Returns the cited answer string, or None (refuse) when
+        the best sentence's cosine is below ``embed_min_sim``."""
+        import numpy as np
+        flat = [(i, j) for i, j in live]
+        texts = [doc_sents[i][j] for i, j in flat]
+        vecs = np.asarray(self.embed_fn([query] + texts))
+        sims = vecs[1:] @ vecs[0]
+        order = np.argsort(-sims)
+        best = float(sims[order[0]])
+        self.last_bar = {"embed_best": round(best, 4),
+                         "embed_used": True,
+                         "embed_min_sim": self.embed_min_sim,
+                         "n_sents": len(texts)}
+        if best < self.embed_min_sim:
+            return None
+        i, j = flat[int(order[0])]
+        ans = re.sub(r"\s*\[\d+\]", "", doc_sents[i][j]).strip()
+        parts = [f"{ans} [{i + 1}]"]
+        # Append one distinct runner-up inside the margin (same rule of
+        # thumb as the lexical channel's 60% second-sentence rule).
+        if len(order) > 1 and float(sims[order[1]]) >= max(
+                0.92 * best, self.embed_min_sim):
+            i2, j2 = flat[int(order[1])]
+            if (i2, j2) != (i, j):
+                s2 = re.sub(r"\s*\[\d+\]", "",
+                            doc_sents[i2][j2]).strip()
+                parts.append(f"{s2} [{i2 + 1}]")
+        return " ".join(parts)
+
     def _generate(self, prompt: str) -> str:
         """Global sentence-level extraction with per-sentence citations.
 
@@ -421,6 +468,22 @@ class DeterministicLLM:
                 and qcov < self.min_coverage \
                 and best_weighted * qcov < self.min_evidence_mass:
             cands = []
+        # Embedding rescue channel: a NON-ENGLISH query with translation
+        # disabled shares almost no lexical surface with the EN context
+        # (qcov ~ 0) — expected, not evidence of off-topic-ness — and
+        # the cross-lingually trained encoder can still rank the EN
+        # sentences (models/xlingual.py). The channel keeps its own
+        # refusal bar (best cosine >= embed_min_sim) and fires ONLY for
+        # non-English queries, so every English path — probes, sheets,
+        # tests — is byte-identical with the channel configured.
+        query_text = self._query_of(prompt)
+        if self.embed_fn is not None and live and qcov < 0.25 \
+                and self._non_english(query_text):
+            ans = self._embed_extract(query_text, doc_sents, live)
+            if ans is not None:
+                return ans
+            return ("I don't have enough information in the provided "
+                    "context to answer that.")
         # Minimum-evidence bar: a multi-term query whose best sentence
         # shares only one content word is off-topic context, not an
         # answer — refuse rather than extract (the reference's factuality

@@ -217,6 +217,12 @@ class VerificationConfig:
     # (docs/results_r4/bar_calibration.jsonl). 1.45 is the log-midpoint;
     # validation stays on the untouched held-out probes.
     extractive_min_evidence_mass: float = 1.45
+    # Embedding rescue channel (zero-lexical-overlap queries, e.g.
+    # non-English with enable_translation=0): refusal bar on the best
+    # sentence's cosine against the query in the cross-lingually
+    # trained encoder space (agent/llm.DeterministicLLM._embed_extract).
+    # Calibrated on the EN holdout probes, not the sections it unlocks.
+    extractive_embed_min_sim: float = 0.60
 
 
 # ---------------------------------------------------------------------------

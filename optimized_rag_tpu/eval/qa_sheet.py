@@ -597,6 +597,11 @@ def main(argv=None) -> int:
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--no-pt", action="store_true",
                     help="skip the cross-lingual sections (pt/es/fr/de)")
+    ap.add_argument("--no-translation-xl", action="store_true",
+                    help="ALSO run the cross-lingual sections with "
+                         "enable_translation=0 (offline extractor + "
+                         "embedding rescue channel): proves multilingual "
+                         "RETRIEVAL, not translation plumbing")
     args = ap.parse_args(argv)
     sheet = list(QA_SHEET)
     pdf_dir = None if args.pdf_docs in (None, "none") else args.pdf_docs
@@ -673,6 +678,34 @@ def main(argv=None) -> int:
                     os.environ["ORAG_LLM_API_BASE"] = prev
         result["summary"]["xlingual_provider"] = (
             "openai-compatible loopback")
+    if args.no_translation_xl:
+        # VERDICT r4 next #3 "done" criterion: the cross-lingual
+        # sections with the translate hop DISABLED. Retrieval embeds the
+        # raw pt/es/fr/de query via the cross-lingually trained encoder;
+        # the extractive generator's embedding rescue channel selects
+        # the EN answer sentence in the same space.
+        from optimized_rag_tpu.config import Settings
+        nt_settings = Settings.from_env(
+            {"ORAG_FLAGS_ENABLE_TRANSLATION": "0"})
+        import tempfile
+        nt_settings.data_dir = tempfile.mkdtemp(prefix="qa_sheet_nt_")
+        nt_agent = build_agent(extra_docs=args.docs,
+                               settings=nt_settings)
+        for tag, lang_sheet in [("pt", PT_SHEET), ("es", ES_SHEET),
+                                ("fr", FR_SHEET), ("de", DE_SHEET)]:
+            print(f"{tag}-* section (translation DISABLED):",
+                  file=sys.stderr)
+            nt_result = run_sheet(nt_agent, sheet=lang_sheet)
+            for r in nt_result["rows"]:
+                r["id"] = f"nt-{r['id']}"
+            result["rows"] += nt_result["rows"]
+            ans = [r for r in nt_result["rows"]
+                   if not r["unanswerable"]]
+            probes = [r for r in nt_result["rows"] if r["unanswerable"]]
+            result["summary"][f"{tag}_accuracy_notranslation"] = (
+                sum(r["correct"] for r in ans) / max(len(ans), 1))
+            result["summary"][f"{tag}_probes_refused_notranslation"] = (
+                sum(r["correct"] for r in probes) / max(len(probes), 1))
     s = result["summary"]
     print(json.dumps(s, indent=2))
     if args.json_out:
