@@ -75,7 +75,11 @@ def make_question(rng: np.random.Generator, sent: str) -> Optional[str]:
     if len(content) < 3:
         return None
     hi = min(len(content), 6)
-    n_keep = int(rng.integers(2, hi + 1))
+    # >=3 kept words: 2-word questions are frequently satisfied by more
+    # than one sentence, and the unique gold label then teaches WRONG
+    # selection (label noise exactly on the byte the early-position
+    # loss weighting emphasizes).
+    n_keep = int(rng.integers(3, hi + 1))
     idx = sorted(rng.choice(len(content), size=n_keep, replace=False))
     kept = " ".join(content[i] for i in idx)
     q = f"{_WH[int(rng.integers(0, len(_WH)))]} {kept}?"

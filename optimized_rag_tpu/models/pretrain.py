@@ -243,7 +243,8 @@ def train_grounded(texts: Sequence[str], cfg, mesh, steps: int = 2000,
                    target_len: int = 320,
                    log: Optional[Callable[[str], None]] = None,
                    snapshot_dir: Optional[str] = None,
-                   snapshot_every: int = 1000):
+                   snapshot_every: int = 1000,
+                   early_weight: float = 8.0, early_len: int = 6):
     """Pointer-generator training on synthesized grounded-QA rows
     (models/grounded_data.GroundedSampler). Snapshot/resume protocol as
     in ``train_biencoder`` (outage-tolerant; optimizer moments rewarm).
@@ -273,7 +274,8 @@ def train_grounded(texts: Sequence[str], cfg, mesh, steps: int = 2000,
               _sched(count + start_step))
     trainer = GroundedTrainer(cfg, mesh, prompt_len=prompt_len,
                               target_len=target_len, learning_rate=lr,
-                              seed=seed)
+                              seed=seed, early_weight=early_weight,
+                              early_len=early_len)
     if resume_params is not None:
         trainer.params = shard_params(resume_params, mesh)
     nll = float("nan")
