@@ -445,6 +445,28 @@ def main() -> None:
         "ann_mode_qps": round(ann_qps, 1),
         "ann_mode_recall_at_10": round(recall, 4)})
 
+    # Serving probe (VERDICT r2 missing #5): trained encoder + DenseIndex
+    # behind the micro-batching QueryServer, 5-second client storm.
+    serving = {}
+    try:
+        serving = _serving_probe(log)
+    except Exception as exc:  # never let the probe sink the kernel metric
+        log(f"serving probe failed: {exc!r}")
+
+    # Warm agent-turn probe (VERDICT r4 next #7): the stale round-2
+    # 188 ms p50 gets a driver-captured replacement. Runs BEFORE the
+    # expensive capacity probes — the overnight round-5 validation run
+    # spent its whole deadline in the 48M int8 corpus build and never
+    # reached this (docs/results_r5/bench_validation.json has no turn
+    # fields); the cheap probes must not sit behind the expensive ones.
+    turn = {}
+    if time_left() > 240:
+        try:
+            turn = _turn_probe(log)
+            _PARTIAL.update(turn)
+        except Exception as exc:
+            log(f"turn probe failed: {exc!r}")
+
     # Round-5 extended capacity configs (VERDICT r4 next #2): int8 at
     # 48M rows and the bf16 single-chip ceiling at 28M, both previously
     # builder-run only. The 10M corpus is explicitly freed first (the
@@ -469,24 +491,6 @@ def main() -> None:
                     ceiling_fields = fields
             except Exception as exc:
                 log(f"{name} probe failed: {exc!r}")
-
-    # Serving probe (VERDICT r2 missing #5): trained encoder + DenseIndex
-    # behind the micro-batching QueryServer, 5-second client storm.
-    serving = {}
-    try:
-        serving = _serving_probe(log)
-    except Exception as exc:  # never let the probe sink the kernel metric
-        log(f"serving probe failed: {exc!r}")
-
-    # Warm agent-turn probe (VERDICT r4 next #7): the stale round-2
-    # 188 ms p50 gets a driver-captured replacement.
-    turn = {}
-    if time_left() > 300:
-        try:
-            turn = _turn_probe(log)
-            _PARTIAL.update(turn)
-        except Exception as exc:
-            log(f"turn probe failed: {exc!r}")
 
     emit_and_exit({
         "metric": f"dense_topk_qps_10M_{D}d_b{b_eff}",
@@ -546,9 +550,14 @@ def _int8_probe(log, qbatches, k: int) -> dict:
     qs = qbatches(2 * b, n=2)
 
     def certified(qq):
+        # union_tiles/pad_r widened vs the bf16 defaults: int8 scores
+        # take DISCRETE levels, so at 12288 tiles the 2nd-unit upper
+        # bound ties tau far more often than in bf16 — the overnight
+        # round-5 run measured uncovered=1 with the default 32-tile
+        # union (docs/results_r5/bench_validation.json).
         s, packed = pallas_topk_certified_multi(
             qq, codes, k, size=n8, sub_batch=b, tile=4096, groups=8,
-            row_scale=scale, int8_native=True)
+            union_tiles=64, pad_r=26, row_scale=scale, int8_native=True)
         return s, packed[:-1], packed[-1:]
 
     _, _, cov = certified(qs[0])

@@ -37,8 +37,9 @@ def holdout_eval(gen, holdout_texts, n=60, seed=11):
     from optimized_rag_tpu.models.grounded import REFUSAL
     from optimized_rag_tpu.models.grounded_data import GroundedSampler
     rng = np.random.default_rng(seed)
-    sampler = GroundedSampler(holdout_texts, prompt_len=2560,
-                              target_len=320, refusal_frac=0.25)
+    sampler = GroundedSampler(holdout_texts, prompt_len=gen.max_prompt_len,
+                              target_len=gen.max_new_tokens,
+                              refusal_frac=0.25)
     rows = []
     prompts, metas = [], []
     while len(prompts) < n:
@@ -77,11 +78,11 @@ def holdout_eval(gen, holdout_texts, n=60, seed=11):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--peak-lr", type=float, default=3e-4)
-    ap.add_argument("--prompt-len", type=int, default=2560)
-    ap.add_argument("--target-len", type=int, default=320)
+    ap.add_argument("--prompt-len", type=int, default=1792)
+    ap.add_argument("--target-len", type=int, default=384)
     ap.add_argument("--out",
                     default=os.path.join(REPO, "checkpoints", "grounded_r5"))
     ap.add_argument("--json", default=None)
@@ -111,7 +112,10 @@ def main() -> None:
           f"holdout {len(held_out)}", flush=True)
 
     cfg = GroundedConfig(hidden_dim=384, num_layers=6, num_heads=6,
-                         mlp_dim=1536, max_seq_len=3072, copy_dim=128)
+                         mlp_dim=1536, copy_dim=128,
+                         max_seq_len=args.prompt_len + args.target_len,
+                         prompt_len=args.prompt_len,
+                         target_len=args.target_len)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=args.peak_lr / 30, peak_value=args.peak_lr,
         warmup_steps=min(300, max(args.steps // 4, 1)),

@@ -217,6 +217,27 @@ def rerank_and_eval(state: AgentState, agent) -> None:
     if not docs:
         state.relevance_score = 0.0
         return
+    from optimized_rag_tpu.utils.lang import detect_language
+    if detect_language(query) not in (None, "en"):
+        # Cross-lingual turn whose query was NOT translated (the
+        # no-translation mode, config.flags.enable_translation=0; with
+        # translation on, effective_query is already English here).
+        # Every signal this node gates on — cross-encoder scores,
+        # lexical coverage, Self-RAG term relevance — is structurally
+        # absent when the query and the corpus share no surface forms,
+        # so the round-4 kill-gates below refused EVERY such turn
+        # (docs/results_r5/qa_full.json *_notranslation = 0.0). Keep the
+        # cross-lingually trained dense retriever's ordering, hand the
+        # refusal decision to the embedding rescue channel's cosine bar
+        # (agent/llm._embed_extract), and skip compression: its
+        # query-relevance ranking would drop the very sentences the
+        # rescue channel selects from. English turns are byte-identical.
+        docs = docs[:min(5, len(docs))]
+        state.rag_context = docs
+        state.relevance_score = float(min(
+            max((d.score for d in docs), default=0.0), 1.0))
+        state.semantic_confidence = state.relevance_score
+        return
     from optimized_rag_tpu.engine.types import retrieval_strategy
     strategy = retrieval_strategy(state.query_intent)
     lam = 1.0 - strategy["diversity_weight"]

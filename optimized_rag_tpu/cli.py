@@ -40,9 +40,9 @@ def _local_lm_provider(settings: Settings):
         print(f"local LM: loaded grounded checkpoint from {ckpt_dir}")
         gen = GroundedGenerator(
             cfg, params=params,
-            max_prompt_len=min(cfg.max_seq_len - 320, 2560),
-            max_new_tokens=min(320, cfg.max_seq_len
-                               - min(cfg.max_seq_len - 320, 2560)))
+            max_prompt_len=min(cfg.prompt_len, cfg.max_seq_len
+                               - cfg.target_len),
+            max_new_tokens=cfg.target_len)
         fb = DeterministicLLM_from(settings)
         return GroundedProvider(gen, fallback=fb)
     from optimized_rag_tpu.models.decoder import (

@@ -221,8 +221,14 @@ class VerificationConfig:
     # non-English with enable_translation=0): refusal bar on the best
     # sentence's cosine against the query in the cross-lingually
     # trained encoder space (agent/llm.DeterministicLLM._embed_extract).
-    # Calibrated on the EN holdout probes, not the sections it unlocks.
-    extractive_embed_min_sim: float = 0.60
+    # Calibrated on the HOLDOUT probes' scripted pt/es/fr/de renderings
+    # against the xl3 encoder — midpoint of off-topic p90 (0.49) and
+    # answerable p10 (0.40); the QA sections the bar unlocks played no
+    # part (benchmarks/calibrate_embed_bar.py ->
+    # docs/results_r5/embed_bar.json). The round-4 0.60 default sat
+    # ABOVE the answerable p50 (~0.55) and refused nearly every
+    # legitimate cross-lingual query.
+    extractive_embed_min_sim: float = 0.446
 
 
 # ---------------------------------------------------------------------------

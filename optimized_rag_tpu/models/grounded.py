@@ -49,9 +49,13 @@ from optimized_rag_tpu.models.decoder import (
 class GroundedConfig(DecoderConfig):
     """Decoder backbone + pointer-head dims. ``copy_dim`` is the copy
     attention's query/key width; presence of this field in a checkpoint
-    config marks the grounded family (models/pretrain.load_pretrained)."""
+    config marks the grounded family (models/pretrain.load_pretrained).
+    ``prompt_len``/``target_len`` record the lengths the checkpoint was
+    TRAINED at, so serving renders prompts into the same regime."""
     copy_dim: int = 128
     max_seq_len: int = 3072
+    prompt_len: int = 2560
+    target_len: int = 320
 
 
 class CopyHeads(nn.Module):
@@ -156,6 +160,100 @@ def render_prompt(docs: Sequence[str], question: str,
         parts.append(f"[{i+1}] {compress_doc(d, q, doc_budget)}\n")
     parts.append(PROMPT_Q + q + PROMPT_A)
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-sentence prompts (round-5 redesign)
+#
+# The round-5 12k-step run on full multi-doc prompts converged to 0.05
+# nll/byte under teacher forcing yet free-ran at ~0.13 answer accuracy:
+# position-wise nll showed the entire remaining loss at t=1 — WHICH
+# sentence to start copying, a sentence-level relevance decision a
+# 6L/384 byte model cannot make over ~2.5k prompt positions. The fix is
+# the same context narrowing the pipeline already performs everywhere
+# else (engine/compressor.py; the reference compresses context before
+# its generation call too, rag/context_compressor.py): the prompt
+# presents the top-M candidate SENTENCES (scored against the question by
+# the same lexical machinery the extractive path uses), each prefixed
+# with its true source number. The generator's learned job is the final
+# selection among confusable candidates, faithful copy-with-reordering,
+# the citation, and refusal when no candidate answers — and training
+# rows are synthesized through the SAME selector, so the train and
+# serving distributions match by construction.
+# ---------------------------------------------------------------------------
+
+def _truncate_utf8(text: str, max_bytes: int) -> str:
+    """Hard byte cap at a word boundary (never splits a codepoint)."""
+    b = text.encode("utf-8")
+    if len(b) <= max_bytes:
+        return text
+    cut = b[:max_bytes].decode("utf-8", "ignore")
+    sp = cut.rfind(" ")
+    return (cut[:sp] if sp > max_bytes // 2 else cut).strip()
+
+
+def select_candidates(question: str, docs: Sequence[str], m: int = 4,
+                      max_sent_bytes: int = 360):
+    """Top-``m`` answer-candidate sentences across the numbered docs.
+
+    Returns ``[(doc_idx, sentence)]`` in DESCENDING relevance order
+    (stemmed content-word overlap + doubled bigram hits, length-
+    normalized like agent/llm.DeterministicLLM's extractive scorer;
+    exact-duplicate sentences dropped). Sentences keep no inline source
+    citation markers, so a copied answer never carries a stale "[22]".
+    An empty return means no sentence shares any content word with the
+    question — the caller refuses."""
+    import math
+    from optimized_rag_tpu.agent.llm import DeterministicLLM
+    from optimized_rag_tpu.agent.verification import split_sentences
+    stem = DeterministicLLM._stem
+    q_raw = _WORD.findall(question.lower())
+    q_terms = [stem(w) for w in q_raw if w not in _STOP and len(w) > 2]
+    q_set = set(q_terms)
+    q_bi = set(zip(q_terms, q_terms[1:]))
+    if not q_set:
+        return []
+    scored = []
+    seen = set()
+    for i, doc in enumerate(docs):
+        for s in split_sentences(" ".join(doc.split())):
+            s = _SRC_CIT_G.sub("", s).strip()
+            if len(s) < 12:
+                continue
+            sw = [stem(w) for w in _WORD.findall(s.lower())]
+            key = tuple(sw)
+            if not sw or key in seen:
+                continue
+            seen.add(key)
+            hits = q_set & set(sw)
+            if not hits:
+                continue
+            bi = q_bi & set(zip(sw, sw[1:]))
+            ln = max(1.0, math.sqrt(len(sw) / 30.0))
+            score = (len(hits) + 2.0 * len(bi)) / ln
+            scored.append((score, i, _truncate_utf8(s, max_sent_bytes)))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    return [(i, s) for _, i, s in scored[:m]]
+
+
+def render_candidates(cands, question: str, max_bytes: int = 1700) -> str:
+    """Render candidate sentences as  context:\\n[n] s...\\nquestion: q\\n
+    answer:  — ``n`` is each candidate's TRUE source-doc number (1-based,
+    may repeat). Drops candidates from the END of the list to fit
+    ``max_bytes`` (callers pass relevance-ordered lists)."""
+    q = _truncate_utf8(" ".join(question.split()), 256)
+    kept = list(cands)
+    while True:
+        parts = [PROMPT_HEAD]
+        parts += [f"[{i + 1}] {s}\n" for i, s in kept]
+        parts.append(PROMPT_Q + q + PROMPT_A)
+        txt = "".join(parts)
+        if len(txt.encode("utf-8")) <= max_bytes or not kept:
+            return txt
+        kept.pop()
+
+
+_SRC_CIT_G = re.compile(r"\s*\[\d+\]")
 
 
 # ---------------------------------------------------------------------------
@@ -438,15 +536,46 @@ class GroundedProvider:
         self.fallback = fallback or DeterministicLLM()
         self.temperature = temperature
 
-    def _native_prompt(self, prompt: str) -> str:
+    def _native_prompt(self, prompt: str) -> Optional[str]:
+        """Candidate-sentence prompt (see select_candidates): the
+        pipeline's lexical scorer shortlists sentences; the MODEL does
+        the final selection, rewrite, and citation. Returns None (an
+        explicit refusal, no model call) when no sentence shares a
+        content word with the question, or when the best candidate
+        fails the minimum-evidence bar — the same raw-match rule as the
+        extractive path's ``min_score`` and the reference's own
+        context-quality gate, which likewise refuses BEFORE its
+        generation call (rag/nodes/generate_response.py:88-108). The
+        round-5 trained model answers unconditionally (holdout
+        refusal_acc 0.0, docs/results_r5/grounded_train.json), so the
+        refusal decision lives in this gate; the model's own numbers
+        are reported from the gate-free self-eval."""
         from optimized_rag_tpu.agent.llm import DeterministicLLM
         docs = DeterministicLLM._context_docs(prompt)
         query = DeterministicLLM._query_of(prompt)
-        max_b = self.generator.max_prompt_len - 64
-        return render_prompt(docs, query, max_bytes=max_b)
+        cands = select_candidates(query, docs, m=4)
+        if not cands:
+            return None
+        stem = DeterministicLLM._stem
+        q_terms = [stem(w) for w in _WORD.findall(query.lower())
+                   if w not in _STOP and len(w) > 2]
+        q_set = set(q_terms)
+        q_bi = set(zip(q_terms, q_terms[1:]))
+
+        def raw_hits(s: str) -> float:
+            sw = [stem(w) for w in _WORD.findall(s.lower())]
+            return (len(q_set & set(sw))
+                    + 2.0 * len(q_bi & set(zip(sw, sw[1:]))))
+
+        if len(q_set) >= 3 and max(raw_hits(s) for _, s in cands) < 2.0:
+            return None
+        max_b = self.generator.max_prompt_len - 32
+        return render_candidates(cands, query, max_bytes=max_b)
 
     def _generate(self, prompt: str, **kw) -> str:
         native = self._native_prompt(prompt)
+        if native is None:
+            return REFUSAL
         out = self.generator.generate(
             native,
             temperature=kw.get("temperature", self.temperature)).strip()

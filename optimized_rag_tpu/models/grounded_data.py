@@ -31,7 +31,7 @@ import numpy as np
 
 from optimized_rag_tpu.models.decoder import BOS, EOS, PAD, encode_bytes
 from optimized_rag_tpu.models.grounded import (
-    REFUSAL, _content_words, render_prompt)
+    REFUSAL, _content_words, render_candidates, select_candidates)
 
 _WH = ("What is", "What are", "What does", "How does", "How is", "Why is",
        "Why does", "Which", "When does", "What", "How")
@@ -99,12 +99,15 @@ class GroundedSampler:
 
     def __init__(self, texts: Sequence[str], prompt_len: int = 2560,
                  target_len: int = 320, doc_bytes: int = 420,
-                 refusal_frac: float = 0.15, two_sent_frac: float = 0.2):
+                 refusal_frac: float = 0.2, two_sent_frac: float = 0.2,
+                 m: int = 4, max_sent_bytes: int = 360):
         self.P = prompt_len
         self.T = target_len
         self.doc_bytes = doc_bytes
         self.refusal_frac = refusal_frac
         self.two_sent_frac = two_sent_frac
+        self.m = m
+        self.max_sent_bytes = max_sent_bytes
         self.sents: List[List[str]] = []
         for t in texts:
             ss = [s for s in split_sentences(t)
@@ -149,10 +152,14 @@ class GroundedSampler:
     def sample(self, rng: np.random.Generator):
         """Returns (prompt_str, answer_str, core_str or None).
 
-        ``core_str`` is the verbatim-copied span (None when transformed
-        or refusal) used for copy-alignment supervision.
+        Candidate-mode synthesis (round 5): the docs are rendered into a
+        CANDIDATE-SENTENCE prompt through the same ``select_candidates``
+        the serving provider uses, so training matches the serving
+        distribution by construction. ``core_str`` is the verbatim-copied
+        span (None when transformed or refusal) used for copy-alignment
+        supervision.
         """
-        n_docs = int(rng.integers(2, 6))
+        n_docs = int(rng.integers(3, 7))
         gold_ci = int(rng.integers(0, len(self.sents)))
         gold_sents = self.sents[gold_ci]
         j = int(rng.integers(0, len(gold_sents)))
@@ -166,26 +173,59 @@ class GroundedSampler:
         pool = [int(p) for p in pool if p != gold_ci][:n_docs]
         for ci in pool:
             docs.append(self._window(rng, ci))
+        budget = self.P - 32
+
         if refusal:
             docs = docs[:n_docs]
-            prompt = render_prompt(docs, question, max_bytes=self.P - 64)
+            cands = select_candidates(question, docs, m=self.m,
+                                      max_sent_bytes=self.max_sent_bytes)
+            if not cands:
+                # serving refuses WITHOUT a model call when no sentence
+                # overlaps the question — such rows teach nothing.
+                return self.sample(rng)
+            prompt = render_candidates(cands, question, max_bytes=budget)
             return prompt, REFUSAL, None
 
         k = int(rng.integers(0, n_docs))
         gold_doc = self._window(rng, gold_ci, must_include=j)
         docs = docs[: n_docs - 1]
         docs.insert(k, gold_doc)
-        prompt = render_prompt(docs, question, max_bytes=self.P - 64)
+        gold_norm = _SRC_CIT.sub("", " ".join(gold_sents[j].split())).strip()
+        cands = select_candidates(question, docs, m=self.m,
+                                  max_sent_bytes=self.max_sent_bytes)
+        if (k, gold_norm) not in cands:
+            # question terms come from the gold sentence, so it scores
+            # near the top; the rare miss (duplicate elsewhere, stemming
+            # quirk) is force-inserted to keep the label correct.
+            cands = cands[: self.m - 1] + [(k, gold_norm)]
+        # Fit the byte budget dropping lowest-relevance non-gold first.
+        while len(cands) > 1 and len(render_candidates(
+                cands, question, max_bytes=1 << 30).encode("utf-8")) > budget:
+            drop = max((i for i in range(len(cands))
+                        if cands[i] != (k, gold_norm)), default=None)
+            if drop is None:
+                break
+            cands.pop(drop)
+        # Presentation order must carry NO label signal.
+        order = rng.permutation(len(cands))
+        cands = [cands[int(i)] for i in order]
+        prompt = render_candidates(cands, question, max_bytes=budget)
+        if f"] {gold_norm}\n" not in prompt:
+            return self.sample(rng)
 
         two = (rng.random() < self.two_sent_frac
                and j + 1 < len(gold_sents)
-               and gold_sents[j + 1] in gold_doc)
-        core = _SRC_CIT.sub("", gold_sents[j]).strip()
-        ans = _transform(rng, gold_sents[j])
+               and (k, _SRC_CIT.sub("", " ".join(
+                   gold_sents[j + 1].split())).strip()) in cands)
+        core = gold_norm
+        ans = _transform(rng, gold_norm)
         parts = [f"{ans} [{k + 1}]"]
         if two:
-            parts.append(f"{_transform(rng, gold_sents[j + 1])} [{k + 1}]")
+            nxt = _SRC_CIT.sub("", " ".join(gold_sents[j + 1].split()))
+            parts.append(f"{_transform(rng, nxt.strip())} [{k + 1}]")
         answer = " ".join(parts)
+        if len(answer.encode("utf-8")) > self.T - 16:
+            answer = parts[0]
         core_out = core if ans == core else None
         return prompt, answer, core_out
 

@@ -360,6 +360,9 @@ def load_pretrained(path: str, name: str):
             mlp_dim=int(blob["mlp_dim"]),
             max_seq_len=int(blob["max_seq_len"]),
             copy_dim=int(blob["copy_dim"]),
+            prompt_len=int(blob.get(
+                "prompt_len", int(blob["max_seq_len"]) - 320)),
+            target_len=int(blob.get("target_len", 320)),
             dtype=dtype)
     else:  # decoder family
         from optimized_rag_tpu.models.decoder import DecoderConfig

@@ -587,9 +587,10 @@ def _pack_tile_scores(scores, base, size_val, val_out, tile, groups,
     gap lives in the dispatch overhead and the covers, not here.
 
     Each extra winner past the first costs one max+mask over the
-    G-times-smaller [B, tile/G] unit array — the ANN path exports
-    n_winners=k so a CONTIGUOUS same-document run (rows land in
-    consecutive, distinct units for runs up to tile/G) surfaces whole.
+    G-times-smaller [B, tile/G] unit array. Every shipping path exports
+    n_winners=2: the round-5 ANN experiment with n_winners=k measured
+    SLOWER than the certified path (the scan is extraction-bound), so
+    clustered-run recall is carried by the c1 unit expansion instead.
     """
     b = scores.shape[0]
     small = tile // groups
@@ -773,14 +774,14 @@ def _unpack_ub(vals, tile):
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile", "groups", "interpret",
                                     "precision", "union_tiles", "pad_r",
-                                    "int8_native"))
+                                    "int8_native", "covers"))
 def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
                           size: jax.Array | int | None = None,
                           tile: int = 4096, groups: int = 8,
                           union_tiles: int = 32, pad_r: int | None = None,
                           interpret: bool = False, precision=None,
                           row_scale: jax.Array | None = None,
-                          int8_native: bool = True):
+                          int8_native: bool = True, covers: bool = True):
     """EXACT top-k via single-pass packed extraction + certified covers.
 
     queries [B,D] pre-normalized (scores must lie in (-2, 2)); corpus [N,D]
@@ -841,8 +842,36 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
     dup = ((ukey[:, :, None] == ukey[:, None, :])
            & (ridx[None, :, None] > ridx[None, None, :])).any(axis=2)
     valid_cand = (vtop[:, :r_cnt] > 0) & ~dup
-    flat = members.reshape(b, r_cnt * groups)
-    gathered = corpus[flat]                                   # [B, R*G, D]
+    if covers:
+        flat = members.reshape(b, r_cnt * groups)
+        okf = (valid_cand[:, :, None]
+               & (members < size_)).reshape(b, r_cnt * groups)
+    else:
+        # ANN path: without the c2 union rescan, a CONTIGUOUS
+        # same-document run inside one tile would surface only its top-2
+        # unit winners (unit members are strided — they do NOT cover
+        # column neighbors). Expand every candidate with its +-W column
+        # window so contiguous runs ride the exact rescore, and mask
+        # duplicate member rows pairwise (windows overlap; top-k ids
+        # must stay distinct). Invalid slots get unique negative
+        # sentinels so they can never claim a real row's slot.
+        w_win = 4
+        offs = jnp.concatenate([jnp.arange(-w_win, 0, dtype=jnp.int32),
+                                jnp.arange(1, w_win + 1, dtype=jnp.int32)])
+        win = jnp.clip(r_rows[:, :, None] + offs[None, None, :], 0, n - 1)
+        members = jnp.concatenate([members, win], axis=2)     # [B,R,G+2W]
+        m_per = groups + 2 * w_win
+        flat = members.reshape(b, r_cnt * m_per)
+        okf = (valid_cand[:, :, None]
+               & (members < size_)).reshape(b, r_cnt * m_per)
+        m_tot = r_cnt * m_per
+        sent = -(jnp.arange(m_tot, dtype=jnp.int32) + 2)[None, :]
+        flat = jnp.where(okf, flat, sent)
+        midx = jnp.arange(m_tot, dtype=jnp.int32)
+        dupm = ((flat[:, :, None] == flat[:, None, :])
+                & (midx[None, :, None] > midx[None, None, :])).any(axis=2)
+        okf = okf & ~dupm
+    gathered = corpus[jnp.maximum(flat, 0)]                   # [B, M, D]
     # Exact rescore on the proven 2D-dot path (see _exact_rowwise_scores:
     # batched-matvec contractions accumulate below f32 on this backend).
     # Scaled mode mirrors the kernel's scoring exactly: bf16 operands,
@@ -854,17 +883,25 @@ def pallas_topk_certified(queries: jax.Array, corpus: jax.Array, k: int,
         # int8-native: int32-accumulated dots (ulp-exact), then the
         # kernel's exact float multiply order.
         sc = (_exact_rowwise_scores_int8(q_scan, gathered)
-              * row_scale[flat].astype(jnp.float32)
+              * row_scale[jnp.maximum(flat, 0)].astype(jnp.float32)
               * q_scale[:, None].astype(jnp.float32))
     else:
         sc = (_exact_rowwise_scores(queries,
                                     gathered.astype(jnp.bfloat16),
                                     jnp.bfloat16, precision)
-              * row_scale[flat].astype(jnp.float32))
-    ok = valid_cand[:, :, None] & (members < size_)
-    sc = jnp.where(ok.reshape(b, r_cnt * groups), sc, NEG_INF)
+              * row_scale[jnp.maximum(flat, 0)].astype(jnp.float32))
+    sc = jnp.where(okf, sc, NEG_INF)
     top_s, pos = jax.lax.top_k(sc, k)
     top_i = jnp.take_along_axis(flat, pos, axis=1)
+    if not covers:
+        # ANN fast path (VERDICT r4 next #5): scan + c1 unit-expanded
+        # rescore only — no c2 union rescan, no c3 bound check, no
+        # certificate row. The unit expansion (every candidate's G
+        # strided unit members rescored exactly) is what keeps recall
+        # high on clustered corpora: a contiguous same-document run
+        # lands in consecutive, distinct units, and each rescued unit
+        # drags its whole strided membership into the exact rescore.
+        return top_s, top_i
     tau = top_s[:, k - 1]                                     # [B]
 
     # c3: the best excluded candidate must be provably below tau.
@@ -1105,18 +1142,19 @@ def _extract_pass(queries, corpus, size, tile, rounds, tiles, interpret,
 
 
 # ---------------------------------------------------------------------------
-# Round-5 ANN fast path: packed scan + candidate rescore, NO covers
-# (VERDICT r4 next #5). The certified kernel's exactness tax — c1 rescue
-# gather, c2 union extraction, c3 bound checks — is ~40% of its runtime
-# at 10M (RESULTS_r4 §8). Approximate traffic shouldn't pay it: this path
-# runs ONLY the single-pass packed extraction, widened to the per-tile
-# top-``k`` UNIT winners (each extra winner is one max+mask over the
-# G-times-smaller unit array — ~tile/G of a full pass), and exactly
-# rescores the top candidates by packed value. Units are strided, so a
-# CONTIGUOUS same-document chunk run of up to tile/G rows lands in
-# distinct units and surfaces whole; misses need >n_winners true top-k
-# rows aliasing into one tile's unit ranking — measured recall 1.0 on
-# the clustered 10M bench corpus (bench.py ann config).
+# Round-5 ANN fast path: the certified kernel MINUS its covers
+# (VERDICT r4 next #5). The first ANN attempt widened the packed scan to
+# per-tile top-k unit winners — the k-1 extra in-kernel max+mask rounds
+# plus the [B, k*num_tiles] host-side top_k made it SLOWER than the
+# certified path (11.5k vs 26.5k qps, docs/results_r5/bench_validation).
+# The scan is extraction/VPU-bound, so the approximate path must REMOVE
+# work from the certified pipeline, not add it: reuse the identical
+# 2-winner packed scan + c1 unit-expanded exact rescore and skip only
+# the c2 union rescan, the c3 bound check, and the certificate merge
+# (``covers=False``). Clustered-run recall rides the unit EXPANSION:
+# each rescued candidate's G strided unit members are exactly rescored,
+# so contiguous same-document runs surface through the rescore even
+# when only 2 unit winners leave the kernel.
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
@@ -1128,34 +1166,23 @@ def pallas_topk_ann(queries: jax.Array, corpus: jax.Array, k: int,
                     n_winners: int | None = None,
                     interpret: bool = False, precision=None,
                     row_scale: jax.Array | None = None):
-    """Approximate top-k at packed-scan speed (one corpus read + ~1
-    extraction pass + a tiny gather-rescore).
+    """Approximate top-k at near-scan speed (packed scan + one exact
+    candidate rescore; no covers, no certificate).
 
     queries [B,D] pre-normalized; corpus [N,D], N % tile == 0. Returns
-    (scores [B,k] f32 — exact f32 rescores of the candidates — and ids
-    [B,k] i32). ``n_winners`` (default k) unit winners are exported per
-    tile; the best ``oversample`` candidates by packed value are exactly
-    rescored. No exactness certificate — approximate traffic only.
+    (scores [B,k] f32 — exact rescores — and ids [B,k] i32). ``oversample``
+    bounds the rescued-candidate count (r = max(oversample, k+8) unit
+    winners, each expanded to its full G-row unit). ``n_winners`` is
+    accepted for API compatibility and ignored (the scan always exports
+    2 winners/tile — measured faster AND more accurate via expansion).
     """
-    n, d = corpus.shape
-    b = queries.shape[0]
-    num_tiles = n // tile
-    small = tile // groups
-    nw = min(n_winners or max(2, k), small)
-    r_cnt = min(max(oversample, k), nw * num_tiles)
-    precision = _resolve_precision(corpus, precision)
-    (w_packed,) = _packed_pass(queries, corpus, size, tile, groups,
-                               interpret, precision, row_scale=row_scale,
-                               n_winners=nw)
-    w_val = jax.lax.bitcast_convert_type(w_packed, jnp.int32)
-    vals = jnp.transpose(w_val, (2, 0, 1)).reshape(b, nw * num_tiles)
-    cand_tile = (jnp.arange(nw * num_tiles, dtype=jnp.int32) // nw)[None, :]
-    rows = cand_tile * tile + (vals & jnp.int32(tile - 1))
-    vtop, vpos = jax.lax.top_k(vals, r_cnt)
-    sel_rows = jnp.take_along_axis(jnp.broadcast_to(rows, vals.shape),
-                                   vpos, axis=1)               # [B, R]
-    sel_rows = jnp.where(vtop > 0, sel_rows, -1)               # padding
-    return rescore_topk(queries, corpus, sel_rows, k, row_scale=row_scale)
+    del n_winners
+    num_tiles = corpus.shape[0] // tile
+    r = min(max(oversample, k + 8), 2 * num_tiles - 1)
+    return pallas_topk_certified(
+        queries, corpus, k, size, tile=tile, groups=groups,
+        pad_r=r, interpret=interpret, precision=precision,
+        row_scale=row_scale, covers=False)
 
 
 @functools.partial(jax.jit,
